@@ -1,0 +1,142 @@
+"""Static variable / likelihood / normalisation registry.
+
+Capability parity with the reference registry
+(``nzdownscale/dataprocess/config.py:3-179,2685-2689``): canonical variable
+names, per-data-source name maps, per-variable likelihood and normalisation
+method, geographic extents, named locations, and ConvNP defaults.
+
+The reference additionally hard-codes a 619-entry station registry
+(``config.py:208-2683``); here that registry is *built* from the station
+archive on disk (see :func:`deepsensornz_tpu.data.sources.stations.build_station_registry`)
+and cached as JSON — the reference generated its table the same way
+(``stations.py:181-214``).
+"""
+
+from __future__ import annotations
+
+# Canonical variable names used throughout the framework.
+VARIABLE_OPTIONS = (
+    "temperature",
+    "precipitation",
+    "surface_pressure",
+    "10m_u_component_of_wind",
+    "10m_v_component_of_wind",
+    "humidity",
+)
+
+# Canonical name -> ERA5(-Land) short name (parity: config.py:46-92).
+VAR_ERA5 = {
+    "temperature": {"var_name": "t2m", "units": "°C", "long_name": "2 m temperature"},
+    "precipitation": {"var_name": "tp", "units": "mm", "long_name": "Total precipitation"},
+    "surface_pressure": {"var_name": "sp", "units": "Pa", "long_name": "Surface pressure"},
+    "10m_u_component_of_wind": {"var_name": "u10", "units": "m s-1", "long_name": "10 m U wind"},
+    "10m_v_component_of_wind": {"var_name": "v10", "units": "m s-1", "long_name": "10 m V wind"},
+    "humidity": {"var_name": "rh", "units": "1", "long_name": "Relative humidity"},
+}
+
+# Canonical name -> WRF output field (parity: config.py:112-131).
+VAR_WRF = {
+    "temperature": {"var_name": "T2", "units": "K"},
+    "precipitation": {"var_name": "RAINNC", "units": "mm"},
+    "surface_pressure": {"var_name": "PSFC", "units": "Pa"},
+    "10m_u_component_of_wind": {"var_name": "U10", "units": "m s-1"},
+    "10m_v_component_of_wind": {"var_name": "V10", "units": "m s-1"},
+    "humidity": {"var_name": "RH2", "units": "1"},
+}
+
+# Canonical name -> station archive variable (parity: config.py:10-44).
+VAR_STATIONS = {
+    "temperature": {"var_name": "dry_bulb", "units": "°C"},
+    "precipitation": {"var_name": "precipitation", "units": "mm"},
+    "surface_pressure": {"var_name": "pressure", "units": "hPa"},
+    "10m_u_component_of_wind": {"var_name": "u_wind", "units": "m s-1"},
+    "10m_v_component_of_wind": {"var_name": "v_wind", "units": "m s-1"},
+    "humidity": {"var_name": "relative_humidity", "units": "1"},
+}
+
+# Reverse map: any per-source short name -> canonical name (parity: config.py:94-110).
+VAR_TO_STD = {}
+for _std, _m in (
+    list(VAR_ERA5.items()) + list(VAR_WRF.items()) + list(VAR_STATIONS.items())
+):
+    VAR_TO_STD[_m["var_name"]] = _std
+
+# Per-variable output likelihood (parity: config.py:162-169).
+#   cnp             — heteroscedastic diagonal Gaussian
+#   gnp             — low-rank multivariate Gaussian (joint prediction)
+#   bernoulli-gamma — mixed discrete/continuous for precipitation
+#   cnp-spikes-beta — {0,1} spikes + Beta body for bounded humidity
+LIKELIHOODS = {
+    "temperature": "cnp",
+    "precipitation": "bernoulli-gamma",
+    "surface_pressure": "cnp",
+    "10m_u_component_of_wind": "cnp",
+    "10m_v_component_of_wind": "cnp",
+    "humidity": "cnp-spikes-beta",
+}
+
+# Per-variable normalisation method (parity: config.py:171-179).
+NORMALISATION = {
+    "temperature": "mean_std",
+    "precipitation": "positive_semidefinite",
+    "surface_pressure": "mean_std",
+    "10m_u_component_of_wind": "mean_std",
+    "10m_v_component_of_wind": "mean_std",
+    "humidity": "min_max",
+}
+
+# Geographic extents (degrees). "all" is the full-NZ training extent
+# (parity in role with PLOT_EXTENT, config.py:135-160).
+EXTENTS = {
+    "all": {"minlat": -47.95, "maxlat": -34.05, "minlon": 165.75, "maxlon": 178.70},
+    "north_island": {"minlat": -41.7, "maxlat": -34.05, "minlon": 172.5, "maxlon": 178.70},
+    "south_island": {"minlat": -47.95, "maxlat": -40.3, "minlon": 165.75, "maxlon": 174.5},
+    "christchurch": {"minlat": -44.2, "maxlat": -43.0, "minlon": 171.0, "maxlon": 173.2},
+}
+
+# Named city coordinates (lat, lon) for validation plots / timeseries
+# (parity in role with LOCATION_LATLON, config.py:181-205).
+LOCATION_LATLON = {
+    "auckland": (-36.8485, 174.7633),
+    "wellington": (-41.2866, 174.7756),
+    "christchurch": (-43.5321, 172.6362),
+    "dunedin": (-45.8788, 170.5028),
+    "queenstown": (-45.0312, 168.6626),
+    "hamilton": (-37.7870, 175.2793),
+    "tauranga": (-37.6878, 176.1651),
+    "napier": (-39.4928, 176.9120),
+    "nelson": (-41.2706, 173.2840),
+    "invercargill": (-46.4132, 168.3538),
+    "taupo": (-38.6857, 176.0702),
+    "hokitika": (-42.7166, 170.9632),
+    "milford_sound": (-44.6717, 167.9256),
+    "mt_cook": (-43.7340, 170.0966),
+}
+
+# ConvNP model defaults (parity: config.py:2685-2689).
+CONVNP_KWARGS_DEFAULT = {
+    "unet_channels": (64, 64, 64, 64),
+    "likelihood": "gnp",
+    "internal_density": 500,
+}
+
+# Default training recipe (parity: train.py:336-355,427).
+TRAIN_DEFAULTS = {
+    "lr": 5e-5,
+    "weight_decay": 0.0,
+    "batch_size": 8,
+    "n_epochs": 30,
+    "plateau_factor": 0.1,
+    "plateau_patience": 5,
+    "early_stop_patience": 10,
+}
+
+
+def likelihood_for(variable: str) -> str:
+    """Default likelihood for a canonical variable name."""
+    return LIKELIHOODS[variable]
+
+
+def normalisation_for(variable: str) -> str:
+    """Default normalisation method for a canonical variable name."""
+    return NORMALISATION[variable]

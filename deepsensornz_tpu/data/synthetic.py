@@ -1,0 +1,159 @@
+"""Synthetic NZ-like data for tests, smoke configs, and benchmarks.
+
+The reference has no test fixtures (SURVEY.md §4); every script hits real
+netCDF archives. This module generates statistically plausible stand-ins with
+the same shapes/conventions (DEM with sea NaNs, coarse gridded base field,
+ragged station frames) so the full pipeline is exercisable hermetically —
+the analog of the tiny debug config
+(``experiments/deepsensor/train/debug/db_nz_downscaling.py:24-42``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from deepsensornz_tpu import config as cfg
+from deepsensornz_tpu.data.grid import Dataset, Field
+
+try:
+    import pandas as pd
+except Exception:  # pragma: no cover
+    pd = None
+
+
+def _smooth_noise(rng, shape, octaves=4, scale=1.0):
+    """Cheap multi-octave value noise via repeated upsample+blur."""
+    out = np.zeros(shape, dtype=np.float64)
+    for o in range(octaves):
+        k = 2 ** (octaves - o - 1)
+        small = rng.standard_normal((max(shape[0] // (4 * k), 2), max(shape[1] // (4 * k), 2)))
+        ups = np.kron(small, np.ones((shape[0] // small.shape[0] + 1, shape[1] // small.shape[1] + 1)))
+        ups = ups[: shape[0], : shape[1]]
+        from scipy.ndimage import gaussian_filter
+
+        out += gaussian_filter(ups, sigma=2.0) * (scale / (o + 1))
+    return out
+
+
+def synthetic_dem(
+    n_lat: int = 128,
+    n_lon: int = 128,
+    extent: str = "all",
+    seed: int = 0,
+) -> Field:
+    """Synthetic DEM: smooth mountains over an island, NaN over sea."""
+    rng = np.random.default_rng(seed)
+    e = cfg.EXTENTS[extent]
+    lat = np.linspace(e["maxlat"], e["minlat"], n_lat)
+    lon = np.linspace(e["minlon"], e["maxlon"], n_lon)
+    terrain = _smooth_noise(rng, (n_lat, n_lon), octaves=4, scale=800.0)
+    terrain = np.abs(terrain) + 5.0
+    # island mask: an ellipse-ish blob with noisy coastline
+    yy, xx = np.meshgrid(np.linspace(-1, 1, n_lat), np.linspace(-1, 1, n_lon), indexing="ij")
+    coast = _smooth_noise(rng, (n_lat, n_lon), octaves=3, scale=0.25)
+    land = (yy**2 + xx**2 + coast) < 0.75
+    dem = np.where(land, terrain, np.nan).astype(np.float32)
+    return Field(dem, ("latitude", "longitude"), {"latitude": lat, "longitude": lon},
+                 "elevation", {"units": "m", "synthetic": 1})
+
+
+def synthetic_base_grid(
+    variable: str = "temperature",
+    n_times: int = 16,
+    n_lat: int = 32,
+    n_lon: int = 32,
+    extent: str = "all",
+    start: str = "2000-01-01",
+    freq_hours: int = 24,
+    seed: int = 1,
+) -> Field:
+    """Synthetic coarse base field (ERA5-like): seasonal cycle + smooth noise."""
+    rng = np.random.default_rng(seed)
+    e = cfg.EXTENTS[extent]
+    lat = np.linspace(e["maxlat"], e["minlat"], n_lat)
+    lon = np.linspace(e["minlon"], e["maxlon"], n_lon)
+    times = np.datetime64(start, "s") + np.arange(n_times) * np.timedelta64(freq_hours, "h")
+    doy = (times - times.astype("datetime64[Y]")).astype("timedelta64[D]").astype(float)
+    season = np.cos(2 * np.pi * (doy - 15) / 365.25)  # southern-hemisphere phase
+    base = 12.0 - 8.0 * season[:, None, None]
+    lat_grad = (lat - lat.mean())[None, :, None] * 0.6
+    noise = np.stack([_smooth_noise(rng, (n_lat, n_lon), 3, 2.0) for _ in range(n_times)])
+    data = base + lat_grad + noise
+    if variable == "precipitation":
+        data = np.maximum(np.exp(0.35 * (data - 8.0)) - 1.0, 0.0)
+        rng2 = np.random.default_rng(seed + 7)
+        data = data * (rng2.random(data.shape) > 0.35)
+    elif variable == "humidity":
+        data = 1.0 / (1.0 + np.exp(-(data - 10.0) / 6.0))
+    elif variable == "surface_pressure":
+        data = 101325.0 + data * 50.0
+    name = cfg.VAR_ERA5[variable]["var_name"]
+    return Field(data.astype(np.float32), ("time", "latitude", "longitude"),
+                 {"time": times, "latitude": lat, "longitude": lon},
+                 name, {"synthetic": 1, "variable": variable})
+
+
+def synthetic_stations(
+    base: Field,
+    dem: Field,
+    variable: str = "temperature",
+    n_stations: int = 64,
+    missing_frac: float = 0.1,
+    seed: int = 2,
+):
+    """Synthetic station frame: base field sampled at random land points
+    + elevation lapse + local noise; ~``missing_frac`` observations dropped
+    to mimic ragged availability."""
+    if pd is None:  # pragma: no cover
+        raise RuntimeError("pandas required for station frames")
+    rng = np.random.default_rng(seed)
+    land_idx = np.argwhere(~np.isnan(dem.data))
+    pick = land_idx[rng.choice(len(land_idx), size=n_stations, replace=len(land_idx) < n_stations)]
+    lats = dem.coords["latitude"][pick[:, 0]]
+    lons = dem.coords["longitude"][pick[:, 1]]
+    elevs = dem.data[pick[:, 0], pick[:, 1]]
+    # jitter off-grid so stations are genuinely irregular
+    res = dem.resolution("latitude")
+    lats = lats + rng.uniform(-0.4, 0.4, n_stations) * res
+    lons = lons + rng.uniform(-0.4, 0.4, n_stations) * res
+
+    times = base.coords["time"]
+    rows = []
+    col = cfg.VAR_STATIONS[variable]["var_name"] + "_station"
+    for ti, t in enumerate(times):
+        vals = base.isel(time=ti)
+        for si in range(n_stations):
+            if rng.random() < missing_frac:
+                continue
+            v = vals.sel(latitude=float(lats[si]), longitude=float(lons[si]), method="nearest")
+            y = float(v.data)
+            if variable == "temperature":
+                y = y - 0.0065 * float(elevs[si]) + rng.normal(0, 0.5)
+            elif variable == "precipitation":
+                y = max(y * (1 + 0.0005 * float(elevs[si])) + rng.normal(0, 0.1), 0.0)
+            else:
+                y = y + rng.normal(0, 0.05 * (abs(y) + 1.0))
+            rows.append({
+                "time": t,
+                "latitude": float(lats[si]),
+                "longitude": float(lons[si]),
+                "station_id": si,
+                "elevation": float(elevs[si]),
+                col: y,
+            })
+    return pd.DataFrame(rows)
+
+
+def synthetic_bundle(
+    variable: str = "temperature",
+    n_times: int = 16,
+    base_hw: tuple[int, int] = (32, 32),
+    dem_hw: tuple[int, int] = (128, 128),
+    n_stations: int = 64,
+    seed: int = 0,
+):
+    """One call producing (base Field, DEM Field, station DataFrame)."""
+    dem = synthetic_dem(*dem_hw, seed=seed)
+    base = synthetic_base_grid(variable, n_times, *base_hw, seed=seed + 1)
+    stations = synthetic_stations(base, dem, variable, n_stations, seed=seed + 2)
+    return base, dem, stations

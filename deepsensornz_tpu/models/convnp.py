@@ -1,0 +1,166 @@
+"""ConvNP: SetConv encoder → U-Net → SetConv decoder → likelihood head.
+
+TPU-native rebuild of the engine model the reference constructs via
+``ConvNP(data_processor, task_loader, **convnp_kwargs)``
+(``nzdownscale/downscaler/train.py:219-265``; architecture from
+``neuralprocesses.construct_convgnp``): each context set is scattered onto a
+shared internal grid with a density channel and a learnable per-set RBF
+length-scale, the concatenated encoding runs through a U-Net, and the result
+is interpolated at target points (off-grid stations during training; the
+full DEM grid at inference, ``validate_ERA.py:88-92``) before an MLP head —
+fusing aux-at-target channels (highres topography), parity with
+``aux_at_targets`` (``train.py:160-166``) — emits the likelihood parameters.
+
+Design choices for TPU:
+
+- the whole forward is a single jittable function of (params, TaskBatch);
+- encode/decode are the separable-einsum SetConvs (:mod:`..ops.setconv`),
+  so every heavy op is a batched matmul or conv (MXU);
+- the U-Net runs in bfloat16 by default, heads/NLL in float32;
+- gridded prediction shares all parameters with the off-grid training path
+  (same Dense/MLP applied along the channel axis).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from deepsensornz_tpu.models.likelihoods import Likelihood, get_likelihood
+from deepsensornz_tpu.models.unet import UNet
+from deepsensornz_tpu.ops.grids import default_lengthscale
+from deepsensornz_tpu.ops.setconv import (
+    setconv_decode_grid,
+    setconv_decode_offgrid,
+    setconv_encode_grid,
+    setconv_encode_offgrid,
+)
+from deepsensornz_tpu.task.task import TaskBatch
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvNPConfig:
+    """Static model hyperparameters (kwargs parity: ``config.py:2685-2689``)."""
+
+    unet_channels: tuple = (64, 64, 64, 64)
+    likelihood: str = "gnp"
+    internal_density: float = 500.0
+    dim_yt: int = 1
+    rank: int = 64                # low-rank factors for the gnp head
+    decoder_channels: int = 64    # channels decoded from the internal grid
+    mlp_hidden: int = 64
+    mlp_layers: int = 1
+    kernel_size: int = 5
+    compute_dtype: str = "bfloat16"   # U-Net compute precision
+    sigmoid_output: bool = False  # ConvNP_sigmoid parity (train.py:639-655)
+
+    def make_likelihood(self) -> Likelihood:
+        kw = {"rank": self.rank} if self.likelihood in ("gnp", "lowrank") else {}
+        return get_likelihood(self.likelihood, dim_y=self.dim_yt, **kw)
+
+
+def _inv_softplus(x: float) -> float:
+    return float(math.log(math.expm1(x))) if x < 20 else float(x)
+
+
+class ConvNP(nn.Module):
+    """Flax module. ``__call__(task)`` → raw likelihood params at targets."""
+
+    cfg: ConvNPConfig
+
+    def _lengthscale(self, name: str) -> jnp.ndarray:
+        init = _inv_softplus(default_lengthscale(self.cfg.internal_density))
+        raw = self.param(name, lambda _: jnp.asarray(init, jnp.float32))
+        return jax.nn.softplus(raw)
+
+    @nn.compact
+    def __call__(
+        self,
+        task: TaskBatch,
+        target_grid: Optional[tuple] = None,
+    ) -> jnp.ndarray:
+        """Forward pass.
+
+        target_grid=None        → params at ``task.xt``: (B, M, K).
+        target_grid=(xt1, xt2, aux_grid) → params on a regular grid:
+        (B, Ht, Wt, K); ``aux_grid`` is (B, Ht, Wt, A) or None and must have
+        the same channel count as ``task.yt_aux``.
+        """
+        cfg = self.cfg
+        # ---- encode every context set onto the internal grid --------------
+        enc = []
+        for i, g in enumerate(task.grids):
+            ls = self._lengthscale(f"ls_grid_{i}")
+            enc.append(setconv_encode_grid(task.x1g, task.x2g, g.x1, g.x2, g.y, ls, g.mask))
+        for i, p in enumerate(task.points):
+            ls = self._lengthscale(f"ls_points_{i}")
+            enc.append(setconv_encode_offgrid(task.x1g, task.x2g, p.x, p.y, p.mask, ls))
+        h = jnp.concatenate(enc, axis=-1)
+
+        # ---- U-Net over the internal grid ----------------------------------
+        f = UNet(
+            channels=tuple(cfg.unet_channels),
+            out_channels=cfg.decoder_channels,
+            kernel_size=cfg.kernel_size,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+            name="unet",
+        )(h)
+
+        # ---- decode at targets ---------------------------------------------
+        ls_dec = self._lengthscale("ls_decoder")
+        if target_grid is None:
+            dec = setconv_decode_offgrid(task.x1g, task.x2g, f, task.xt, ls_dec)
+            aux = task.yt_aux
+        else:
+            xt1, xt2, aux = target_grid
+            dec = setconv_decode_grid(task.x1g, task.x2g, f, xt1, xt2, ls_dec)
+
+        if aux is not None:
+            dec = jnp.concatenate([dec, aux.astype(jnp.float32)], axis=-1)
+
+        # ---- head MLP → likelihood parameters -------------------------------
+        z = dec
+        for j in range(cfg.mlp_layers):
+            z = nn.relu(nn.Dense(cfg.mlp_hidden, name=f"head_{j}")(z))
+        raw = nn.Dense(cfg.make_likelihood().num_params(), name="head_out")(z)
+        if cfg.sigmoid_output:
+            raw = _sigmoid_squash(raw, cfg)
+        return raw
+
+    # convenience -------------------------------------------------------------
+
+    def init_params(self, rng: jax.Array, task: TaskBatch):
+        return self.init(rng, task)
+
+    def loss(self, params, task: TaskBatch) -> jnp.ndarray:
+        """Normalised NLL (parity: ``model.loss_fn(task, normalise=True)``)."""
+        raw = self.apply(params, task)
+        return self.cfg.make_likelihood().nll(raw, task.yt, task.yt_mask)
+
+
+def _sigmoid_squash(raw: jnp.ndarray, cfg: ConvNPConfig) -> jnp.ndarray:
+    """Squash the mean channel through a sigmoid and scale the scale channel
+    by the sigmoid derivative — ``ConvNP_sigmoid`` parity
+    (``train.py:639-655``, used for bounded humidity)."""
+    dy = cfg.dim_yt
+    mu = raw[..., :dy]
+    sig_mu = jax.nn.sigmoid(mu)
+    dsig = sig_mu * (1.0 - sig_mu)
+    rest = raw[..., dy:]
+    if rest.shape[-1] >= dy:
+        # scale the (pre-softplus) scale channel multiplicatively in
+        # post-softplus space: softplus(x + log d) ≈ softplus(x)·d for the
+        # regime softplus operates in; exact scaling applied on the raw.
+        scale = rest[..., :dy] + jnp.log(jnp.maximum(dsig, 1e-6))
+        rest = jnp.concatenate([scale, rest[..., dy:]], axis=-1)
+    return jnp.concatenate([sig_mu, rest], axis=-1)
+
+
+def count_params(params) -> int:
+    """Total parameter count (printed at ``train.py:262``)."""
+    return sum(p.size for p in jax.tree.leaves(params))

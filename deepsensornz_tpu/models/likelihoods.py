@@ -1,0 +1,298 @@
+"""Likelihood heads: parameter layout, masked NLL, moments, sampling.
+
+Rebuilds the four output distributions the reference selects per variable
+(``nzdownscale/dataprocess/config.py:162-169``):
+
+- ``cnp``             — heteroscedastic diagonal Gaussian,
+- ``gnp``             — low-rank + diagonal multivariate Gaussian (joint
+                        prediction over all targets; reference default,
+                        ``config.py:2685-2689``),
+- ``bernoulli-gamma`` — mixed point-mass-at-0 + Gamma body (precipitation),
+- ``cnp-spikes-beta`` — point masses at {0, 1} + Beta body (humidity).
+
+Every head consumes a raw parameter block of shape (..., M, K) produced by
+the ConvNP decoder, a target block (..., M, dy) and a validity mask
+(..., M). NLLs are **per-target normalised** over valid targets — parity
+with ``model.loss_fn(task, normalise=True)`` (``train.py:370``). Padded
+targets contribute exactly zero, which is what makes fixed-shape batches
+(replacing the reference's station-count bucketing, ``train.py:448-475``)
+semantically identical to ragged ones.
+
+All math is float32; the low-rank Gaussian uses a Woodbury/Cholesky solve on
+the small R×R capacitance matrix so cost is O(M·R²), never O(M³).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-6
+_LOG_2PI = 1.8378770664093453
+
+
+def _softplus(x):
+    return jax.nn.softplus(x) + _EPS
+
+
+@dataclasses.dataclass(frozen=True)
+class Likelihood:
+    """Interface: subclasses define layout + math for one output family."""
+
+    dim_y: int = 1
+
+    name: str = "base"
+
+    def num_params(self) -> int:
+        raise NotImplementedError
+
+    def nll(self, raw: jnp.ndarray, y: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        """Mean negative log-likelihood per valid target. raw: (B,M,K)."""
+        raise NotImplementedError
+
+    def mean_std(self, raw: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Predictive mean and std, shapes (..., M, dy)."""
+        raise NotImplementedError
+
+    def sample(self, raw: jnp.ndarray, rng: jax.Array, n: int) -> jnp.ndarray:
+        """n joint samples, shape (n, ..., M, dy)."""
+        raise NotImplementedError
+
+    def _norm(self, pointwise_nll: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        m = mask.astype(jnp.float32)
+        per_task = jnp.sum(pointwise_nll * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1.0)
+        return jnp.mean(per_task)
+
+
+# ---------------------------------------------------------------------------
+# cnp — heteroscedastic diagonal Gaussian
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class HeteroscedasticGaussian(Likelihood):
+    name: str = "cnp"
+
+    def num_params(self) -> int:
+        return 2 * self.dim_y
+
+    def _split(self, raw):
+        mu = raw[..., : self.dim_y]
+        sigma = _softplus(raw[..., self.dim_y: 2 * self.dim_y])
+        return mu, sigma
+
+    def nll(self, raw, y, mask):
+        mu, sigma = self._split(raw)
+        z = (y.astype(jnp.float32) - mu) / sigma
+        point = 0.5 * (jnp.square(z) + 2.0 * jnp.log(sigma) + _LOG_2PI)
+        return self._norm(jnp.sum(point, axis=-1), mask)
+
+    def mean_std(self, raw):
+        return self._split(raw)
+
+    def sample(self, raw, rng, n):
+        mu, sigma = self._split(raw)
+        eps = jax.random.normal(rng, (n,) + mu.shape, dtype=jnp.float32)
+        return mu[None] + sigma[None] * eps
+
+
+# ---------------------------------------------------------------------------
+# gnp — low-rank + diagonal multivariate Gaussian (joint over targets)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class LowRankGaussian(Likelihood):
+    """Σ = diag(σ²) + FFᵀ with F ∈ R^{M·dy × R}. Woodbury NLL, O(M·R²)."""
+
+    rank: int = 64
+    name: str = "gnp"
+
+    def num_params(self) -> int:
+        return self.dim_y * (2 + self.rank)
+
+    def _split(self, raw):
+        dy, r = self.dim_y, self.rank
+        mu = raw[..., :dy]
+        var = _softplus(raw[..., dy: 2 * dy])  # noise VARIANCE after softplus
+        fac = raw[..., 2 * dy:].reshape(raw.shape[:-1] + (dy, r)) / jnp.sqrt(float(r))
+        return mu, var, fac
+
+    def _flatten(self, raw, mask):
+        """Flatten (…,M,dy) → (…, M·dy) with mask-neutralised pads."""
+        mu, var, fac = self._split(raw)
+        m = mask.astype(jnp.float32)[..., None]
+        B = raw.shape[:-2]
+        M = raw.shape[-2]
+        n = M * self.dim_y
+        mu = (mu * m).reshape(B + (n,))
+        var = jnp.where(m > 0, var, 1.0).reshape(B + (n,))
+        fac = (fac * m[..., None]).reshape(B + (n, self.rank))
+        mflat = jnp.broadcast_to(m, m.shape[:-1] + (self.dim_y,)).reshape(B + (n,))
+        return mu, var, fac, mflat
+
+    def nll(self, raw, y, mask):
+        mu, var, fac, mflat = self._flatten(raw, mask)
+        B = raw.shape[:-2]
+        yf = (y.astype(jnp.float32).reshape(B + (-1,)) ) * mflat
+        r = (yf - mu) * mflat
+        dinv = 1.0 / var
+        dinv_r = dinv * r
+        ft_dinv_r = jnp.einsum("...nr,...n->...r", fac, dinv_r)
+        cap = jnp.eye(self.rank, dtype=jnp.float32) + jnp.einsum(
+            "...nr,...n,...ns->...rs", fac, dinv, fac,
+            preferred_element_type=jnp.float32,
+        )
+        chol = jnp.linalg.cholesky(cap)
+        sol = jax.scipy.linalg.cho_solve((chol, True), ft_dinv_r[..., None])[..., 0]
+        quad = jnp.sum(r * dinv_r, axis=-1) - jnp.sum(ft_dinv_r * sol, axis=-1)
+        logdet = (
+            jnp.sum(jnp.log(var) * mflat, axis=-1)
+            + 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+        )
+        n_valid = jnp.maximum(jnp.sum(mflat, axis=-1), 1.0)
+        nll = 0.5 * (quad + logdet + n_valid * _LOG_2PI)
+        return jnp.mean(nll / n_valid)
+
+    def mean_std(self, raw):
+        mu, var, fac = self._split(raw)
+        std = jnp.sqrt(var + jnp.sum(jnp.square(fac), axis=-1))
+        return mu, std
+
+    def sample(self, raw, rng, n):
+        mu, var, fac = self._split(raw)
+        k1, k2 = jax.random.split(rng)
+        e1 = jax.random.normal(k1, (n,) + mu.shape, jnp.float32)
+        e2 = jax.random.normal(k2, (n,) + raw.shape[:-2] + (self.rank,), jnp.float32)
+        corr = jnp.einsum("...mdr,s...r->s...md", fac, e2)
+        return mu[None] + jnp.sqrt(var)[None] * e1 + corr
+
+
+# ---------------------------------------------------------------------------
+# bernoulli-gamma — precipitation
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class BernoulliGamma(Likelihood):
+    """P(y=0)=1-p; y>0 ~ Gamma(k, rate). dim_y must be 1."""
+
+    name: str = "bernoulli-gamma"
+
+    def num_params(self) -> int:
+        return 3 * self.dim_y
+
+    def _split(self, raw):
+        p = jax.nn.sigmoid(raw[..., 0])
+        k = _softplus(raw[..., 1])
+        rate = _softplus(raw[..., 2])
+        return p, k, rate
+
+    def nll(self, raw, y, mask):
+        p, k, rate = self._split(raw)
+        yv = y[..., 0].astype(jnp.float32)
+        wet = yv > _EPS
+        y_safe = jnp.maximum(yv, _EPS)
+        log_gamma = (
+            k * jnp.log(rate) + (k - 1.0) * jnp.log(y_safe) - rate * y_safe
+            - jax.lax.lgamma(k)
+        )
+        log_p = jnp.log(jnp.clip(p, _EPS, 1 - _EPS))
+        log_1mp = jnp.log(jnp.clip(1.0 - p, _EPS, 1 - _EPS))
+        point = -jnp.where(wet, log_p + log_gamma, log_1mp)
+        return self._norm(point, mask)
+
+    def mean_std(self, raw):
+        p, k, rate = self._split(raw)
+        mean_wet = k / rate
+        var_wet = k / jnp.square(rate)
+        mean = p * mean_wet
+        var = p * var_wet + p * (1.0 - p) * jnp.square(mean_wet)
+        return mean[..., None], jnp.sqrt(var)[..., None]
+
+    def sample(self, raw, rng, n):
+        p, k, rate = self._split(raw)
+        k1, k2 = jax.random.split(rng)
+        wet = jax.random.bernoulli(k1, jnp.broadcast_to(p, (n,) + p.shape))
+        gam = jax.random.gamma(k2, jnp.broadcast_to(k, (n,) + k.shape)) / rate[None]
+        return (jnp.where(wet, gam, 0.0))[..., None]
+
+
+# ---------------------------------------------------------------------------
+# cnp-spikes-beta — bounded humidity in [0, 1]
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SpikesBeta(Likelihood):
+    """Mixture: spike at 0 (w.p. p0), spike at 1 (w.p. p1), Beta(α,β) body."""
+
+    name: str = "cnp-spikes-beta"
+
+    def num_params(self) -> int:
+        return 5 * self.dim_y
+
+    def _split(self, raw):
+        logits = raw[..., :3]
+        probs = jax.nn.softmax(logits, axis=-1)  # (p0, p1, p_body)
+        alpha = _softplus(raw[..., 3])
+        beta = _softplus(raw[..., 4])
+        return probs, alpha, beta
+
+    def nll(self, raw, y, mask):
+        probs, alpha, beta = self._split(raw)
+        yv = jnp.clip(y[..., 0].astype(jnp.float32), 0.0, 1.0)
+        at0 = yv < _EPS
+        at1 = yv > 1.0 - _EPS
+        y_safe = jnp.clip(yv, _EPS, 1.0 - _EPS)
+        betaln = (
+            jax.lax.lgamma(alpha) + jax.lax.lgamma(beta) - jax.lax.lgamma(alpha + beta)
+        )
+        log_beta_pdf = (
+            (alpha - 1.0) * jnp.log(y_safe) + (beta - 1.0) * jnp.log1p(-y_safe) - betaln
+        )
+        lp = jnp.log(jnp.clip(probs, _EPS, 1.0))
+        point = -jnp.where(
+            at0, lp[..., 0], jnp.where(at1, lp[..., 1], lp[..., 2] + log_beta_pdf)
+        )
+        return self._norm(point, mask)
+
+    def mean_std(self, raw):
+        probs, alpha, beta = self._split(raw)
+        mean_body = alpha / (alpha + beta)
+        var_body = alpha * beta / (jnp.square(alpha + beta) * (alpha + beta + 1.0))
+        mean = probs[..., 1] + probs[..., 2] * mean_body
+        ex2 = probs[..., 1] + probs[..., 2] * (var_body + jnp.square(mean_body))
+        var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
+        return mean[..., None], jnp.sqrt(var)[..., None]
+
+    def sample(self, raw, rng, n):
+        probs, alpha, beta = self._split(raw)
+        k1, k2 = jax.random.split(rng)
+        comp = jax.random.categorical(
+            k1, jnp.log(jnp.clip(probs, _EPS, 1.0)), shape=(n,) + probs.shape[:-1]
+        )
+        body = jax.random.beta(
+            k2, jnp.broadcast_to(alpha, (n,) + alpha.shape),
+            jnp.broadcast_to(beta, (n,) + beta.shape),
+        )
+        out = jnp.where(comp == 0, 0.0, jnp.where(comp == 1, 1.0, body))
+        return out[..., None]
+
+
+_REGISTRY = {
+    "cnp": HeteroscedasticGaussian,
+    "het": HeteroscedasticGaussian,
+    "gnp": LowRankGaussian,
+    "lowrank": LowRankGaussian,
+    "bernoulli-gamma": BernoulliGamma,
+    "cnp-spikes-beta": SpikesBeta,
+}
+
+
+def get_likelihood(name: str, dim_y: int = 1, **kw) -> Likelihood:
+    """Factory by reference likelihood name (``config.py:162-169``)."""
+    cls = _REGISTRY[name]
+    return cls(dim_y=dim_y, **kw)

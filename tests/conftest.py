@@ -1,0 +1,28 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initialises.
+
+This mirrors how the driver validates the multi-chip path (SURVEY.md §4):
+``xla_force_host_platform_device_count`` gives N independent XLA CPU devices
+so pjit/shard_map/mesh code paths are exercised without TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+# A sitecustomize.py may have pre-registered a TPU backend and pinned
+# jax_platforms before this conftest runs; the config update wins as long as
+# no computation has executed yet.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
