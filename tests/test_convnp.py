@@ -1,0 +1,131 @@
+"""ConvNP end-to-end: forward shapes, loss decrease, gridded/offgrid parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from deepsensornz_tpu.data.processor import DataProcessor
+from deepsensornz_tpu.data.synthetic import synthetic_bundle
+from deepsensornz_tpu.models.convnp import ConvNP, ConvNPConfig, count_params
+from deepsensornz_tpu.task.loader import TaskLoader
+
+
+@pytest.fixture(scope="module")
+def setup():
+    base, dem, stations = synthetic_bundle(
+        n_times=8, base_hw=(16, 16), dem_hw=(48, 48), n_stations=24
+    )
+    dp = DataProcessor()
+    dp.set_coord_maps_from_extent(
+        dem.coords["latitude"].min(), dem.coords["latitude"].max(),
+        dem.coords["longitude"].min(), dem.coords["longitude"].max(),
+    )
+    base_n = dp(base, method="mean_std")
+    dem_n = dp(dem.fillna(0.0).rename("elevation"), method="min_max")
+    st_n = dp(stations, method="mean_std")
+    tl = TaskLoader(
+        context=[base_n, st_n], target=st_n, aux_at_targets=dem_n,
+        internal_density=32, grid_multiple=16,
+    )
+    times = base.coords["time"]
+    cfg = ConvNPConfig(
+        unet_channels=(16, 16), likelihood="cnp", internal_density=32,
+        decoder_channels=16, mlp_hidden=16, rank=8, compute_dtype="float32",
+    )
+    model = ConvNP(cfg)
+    task = tl(list(times[:4]))
+    params = model.init(jax.random.key(0), task)
+    return model, params, tl, times, cfg
+
+
+def test_forward_shapes(setup):
+    model, params, tl, times, cfg = setup
+    task = tl(list(times[:2]))
+    raw = model.apply(params, task)
+    assert raw.shape == (2, tl.target_capacity, 2)  # cnp: mean + scale
+
+
+def test_loss_finite_and_positive_params(setup):
+    model, params, tl, times, cfg = setup
+    task = tl(list(times[:2]))
+    loss = float(model.loss(params, task))
+    assert np.isfinite(loss)
+    assert count_params(params) > 1000
+
+
+def test_loss_decreases_under_training(setup):
+    model, params, tl, times, cfg = setup
+    task = tl(list(times[:6]))
+    opt = optax.adamw(1e-3)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, task):
+        loss, grads = jax.value_and_grad(model.loss)(params, task)
+        updates, state = opt.update(grads, state, params)
+        return optax.apply_updates(params, updates), state, loss
+
+    losses = []
+    p = params
+    for _ in range(30):
+        p, state, l = step(p, state, task)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] - 0.2, losses[::10]
+
+
+def test_gridded_prediction_matches_offgrid(setup):
+    """Decoding on a grid must equal off-grid decoding at the grid nodes."""
+    model, params, tl, times, cfg = setup
+    task = tl(list(times[:1]))
+    xt1 = np.linspace(0.2, 0.8, 8).astype(np.float32)
+    xt2 = np.linspace(0.2, 0.8, 8).astype(np.float32)
+    aux_dim = task.yt_aux.shape[-1]
+    aux_grid = jnp.zeros((1, 8, 8, aux_dim))
+    raw_grid = model.apply(params, task, target_grid=(jnp.asarray(xt1), jnp.asarray(xt2), aux_grid))
+    assert raw_grid.shape == (1, 8, 8, 2)
+    pts = np.stack(np.meshgrid(xt1, xt2, indexing="ij"), -1).reshape(1, -1, 2)
+    task_pts = task.replace(
+        xt=jnp.asarray(pts), yt_aux=jnp.zeros((1, 64, aux_dim)),
+        yt_mask=jnp.ones((1, 64)),
+    )
+    raw_pts = model.apply(params, task_pts)
+    np.testing.assert_allclose(
+        np.asarray(raw_grid).reshape(1, -1, 2), np.asarray(raw_pts), rtol=5e-3, atol=1e-4
+    )
+
+
+def test_all_likelihood_heads_run(setup):
+    model, params, tl, times, _ = setup
+    task = tl(list(times[:1]))
+    for lik in ["cnp", "gnp", "bernoulli-gamma", "cnp-spikes-beta"]:
+        cfg = ConvNPConfig(
+            unet_channels=(8, 8), likelihood=lik, internal_density=32,
+            decoder_channels=8, mlp_hidden=8, rank=4, compute_dtype="float32",
+        )
+        m = ConvNP(cfg)
+        p = m.init(jax.random.key(1), task)
+        y = task.yt
+        if lik == "bernoulli-gamma":
+            y = jnp.abs(y)
+        elif lik == "cnp-spikes-beta":
+            y = jax.nn.sigmoid(y)
+        t = task.replace(yt=y)
+        loss = float(m.loss(p, t))
+        assert np.isfinite(loss), lik
+
+
+def test_sigmoid_output_bounds(setup):
+    model, params, tl, times, _ = setup
+    task = tl(list(times[:1]))
+    cfg = ConvNPConfig(
+        unet_channels=(8, 8), likelihood="cnp", internal_density=32,
+        decoder_channels=8, mlp_hidden=8, compute_dtype="float32",
+        sigmoid_output=True,
+    )
+    m = ConvNP(cfg)
+    p = m.init(jax.random.key(2), task)
+    raw = m.apply(p, task)
+    mu = np.asarray(raw[..., 0])
+    assert (mu >= 0).all() and (mu <= 1).all()

@@ -1,0 +1,173 @@
+"""Likelihood heads vs closed-form scipy references (SURVEY.md §4 plan)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.stats as st
+
+from deepsensornz_tpu.models.likelihoods import (
+    BernoulliGamma,
+    HeteroscedasticGaussian,
+    LowRankGaussian,
+    SpikesBeta,
+    _softplus,
+    get_likelihood,
+)
+
+
+def softplus(x):
+    return np.log1p(np.exp(x)) + 1e-6
+
+
+def test_cnp_matches_scipy(rng):
+    B, M = 2, 5
+    raw = rng.normal(size=(B, M, 2)).astype(np.float32)
+    y = rng.normal(size=(B, M, 1)).astype(np.float32)
+    mask = np.ones((B, M), np.float32)
+    lik = HeteroscedasticGaussian(dim_y=1)
+    got = float(lik.nll(jnp.asarray(raw), jnp.asarray(y), jnp.asarray(mask)))
+    mu = raw[..., 0]
+    sigma = softplus(raw[..., 1])
+    want = -st.norm.logpdf(y[..., 0], mu, sigma).mean()
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_cnp_mask_equivalence(rng):
+    """Padded batch NLL == ragged NLL."""
+    lik = HeteroscedasticGaussian(dim_y=1)
+    raw = rng.normal(size=(1, 4, 2)).astype(np.float32)
+    y = rng.normal(size=(1, 4, 1)).astype(np.float32)
+    full = float(lik.nll(jnp.asarray(raw), jnp.asarray(y), jnp.ones((1, 4))))
+    rawp = np.concatenate([raw, rng.normal(size=(1, 3, 2)).astype(np.float32)], 1)
+    yp = np.concatenate([y, np.full((1, 3, 1), 9.0, np.float32)], 1)
+    maskp = np.concatenate([np.ones((1, 4)), np.zeros((1, 3))], 1)
+    padded = float(lik.nll(jnp.asarray(rawp), jnp.asarray(yp), jnp.asarray(maskp)))
+    assert padded == pytest.approx(full, rel=1e-6)
+
+
+def test_gnp_zero_rank_factors_match_diagonal(rng):
+    M, R = 6, 4
+    lik = LowRankGaussian(dim_y=1, rank=R)
+    raw = np.zeros((1, M, lik.num_params()), np.float32)
+    raw[..., 0] = rng.normal(size=(1, M))
+    raw[..., 1] = rng.normal(size=(1, M))
+    y = rng.normal(size=(1, M, 1)).astype(np.float32)
+    mask = np.ones((1, M), np.float32)
+    got = float(lik.nll(jnp.asarray(raw), jnp.asarray(y), jnp.asarray(mask)))
+    mu = raw[..., 0]
+    var = softplus(raw[..., 1])  # gnp's 2nd channel is a VARIANCE
+    want = -st.norm.logpdf(y[..., 0], mu, np.sqrt(var)).mean()
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_gnp_matches_dense_mvn(rng):
+    M, R = 5, 3
+    lik = LowRankGaussian(dim_y=1, rank=R)
+    raw = rng.normal(size=(1, M, lik.num_params())).astype(np.float32)
+    y = rng.normal(size=(1, M, 1)).astype(np.float32)
+    mask = np.ones((1, M), np.float32)
+    got = float(lik.nll(jnp.asarray(raw), jnp.asarray(y), jnp.asarray(mask)))
+    mu = raw[0, :, 0]
+    var = softplus(raw[0, :, 1])
+    F = raw[0, :, 2:] / np.sqrt(R)
+    cov = np.diag(var) + F @ F.T
+    want = -st.multivariate_normal.logpdf(y[0, :, 0], mu, cov) / M
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_gnp_mask_equivalence(rng):
+    M, R = 4, 3
+    lik = LowRankGaussian(dim_y=1, rank=R)
+    raw = rng.normal(size=(1, M, lik.num_params())).astype(np.float32)
+    y = rng.normal(size=(1, M, 1)).astype(np.float32)
+    full = float(lik.nll(jnp.asarray(raw), jnp.asarray(y), jnp.ones((1, M))))
+    pad = 3
+    rawp = np.concatenate([raw, rng.normal(size=(1, pad, lik.num_params())).astype(np.float32)], 1)
+    yp = np.concatenate([y, np.full((1, pad, 1), 5.0, np.float32)], 1)
+    maskp = np.concatenate([np.ones((1, M)), np.zeros((1, pad))], 1)
+    padded = float(lik.nll(jnp.asarray(rawp), jnp.asarray(yp), jnp.asarray(maskp)))
+    assert padded == pytest.approx(full, rel=1e-4)
+
+
+def test_gnp_mean_std_and_samples(rng):
+    M, R = 8, 4
+    lik = LowRankGaussian(dim_y=1, rank=R)
+    raw = rng.normal(size=(1, M, lik.num_params())).astype(np.float32)
+    mean, std = lik.mean_std(jnp.asarray(raw))
+    samples = lik.sample(jnp.asarray(raw), jax.random.key(0), 4000)
+    emp_mean = np.asarray(samples).mean(0)
+    emp_std = np.asarray(samples).std(0)
+    np.testing.assert_allclose(emp_mean, np.asarray(mean), atol=0.15)
+    np.testing.assert_allclose(emp_std, np.asarray(std), rtol=0.12)
+
+
+def test_bernoulli_gamma_matches_scipy(rng):
+    lik = BernoulliGamma(dim_y=1)
+    raw = rng.normal(size=(1, 6, 3)).astype(np.float32)
+    y = np.abs(rng.normal(size=(1, 6, 1))).astype(np.float32)
+    y[0, :2, 0] = 0.0  # dry points
+    mask = np.ones((1, 6), np.float32)
+    got = float(lik.nll(jnp.asarray(raw), jnp.asarray(y), jnp.asarray(mask)))
+    p = 1 / (1 + np.exp(-raw[..., 0]))
+    k = softplus(raw[..., 1])
+    rate = softplus(raw[..., 2])
+    ll = np.where(
+        y[..., 0] > 1e-6,
+        np.log(p) + st.gamma.logpdf(np.maximum(y[..., 0], 1e-6), k, scale=1 / rate),
+        np.log(1 - p),
+    )
+    assert got == pytest.approx(-ll.mean(), rel=1e-4)
+
+
+def test_bernoulli_gamma_moments(rng):
+    lik = BernoulliGamma(dim_y=1)
+    raw = rng.normal(size=(1, 4, 3)).astype(np.float32)
+    mean, std = lik.mean_std(jnp.asarray(raw))
+    samples = np.asarray(lik.sample(jnp.asarray(raw), jax.random.key(1), 20000))
+    np.testing.assert_allclose(samples.mean(0), np.asarray(mean), atol=0.05)
+    np.testing.assert_allclose(samples.std(0), np.asarray(std), rtol=0.1)
+    assert (samples >= 0).all()
+
+
+def test_spikes_beta_matches_scipy(rng):
+    lik = SpikesBeta(dim_y=1)
+    raw = rng.normal(size=(1, 6, 5)).astype(np.float32)
+    y = rng.random((1, 6, 1)).astype(np.float32)
+    y[0, 0, 0] = 0.0
+    y[0, 1, 0] = 1.0
+    mask = np.ones((1, 6), np.float32)
+    got = float(lik.nll(jnp.asarray(raw), jnp.asarray(y), jnp.asarray(mask)))
+    e = np.exp(raw[..., :3] - raw[..., :3].max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+    alpha = softplus(raw[..., 3])
+    beta = softplus(raw[..., 4])
+    yv = y[..., 0]
+    ll = np.where(
+        yv < 1e-6,
+        np.log(probs[..., 0]),
+        np.where(
+            yv > 1 - 1e-6,
+            np.log(probs[..., 1]),
+            np.log(probs[..., 2])
+            + st.beta.logpdf(np.clip(yv, 1e-6, 1 - 1e-6), alpha, beta),
+        ),
+    )
+    assert got == pytest.approx(-ll.mean(), rel=1e-3)
+
+
+def test_spikes_beta_samples_bounded(rng):
+    lik = SpikesBeta(dim_y=1)
+    raw = rng.normal(size=(1, 4, 5)).astype(np.float32)
+    s = np.asarray(lik.sample(jnp.asarray(raw), jax.random.key(2), 5000))
+    assert (s >= 0).all() and (s <= 1).all()
+    mean, std = lik.mean_std(jnp.asarray(raw))
+    np.testing.assert_allclose(s.mean(0), np.asarray(mean), atol=0.04)
+    np.testing.assert_allclose(s.std(0), np.asarray(std), atol=0.04)
+
+
+def test_factory_channel_counts():
+    assert get_likelihood("cnp").num_params() == 2
+    assert get_likelihood("gnp", rank=32).num_params() == 34
+    assert get_likelihood("bernoulli-gamma").num_params() == 3
+    assert get_likelihood("cnp-spikes-beta").num_params() == 5

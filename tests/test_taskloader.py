@@ -1,0 +1,132 @@
+"""TaskLoader: sampling strategies, padding, split semantics, determinism."""
+
+import numpy as np
+import pytest
+
+from deepsensornz_tpu.data.processor import DataProcessor
+from deepsensornz_tpu.data.synthetic import synthetic_bundle
+from deepsensornz_tpu.task.loader import TaskLoader, interp_grid_at_points
+from deepsensornz_tpu.data.grid import Field
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    base, dem, stations = synthetic_bundle(
+        n_times=6, base_hw=(16, 16), dem_hw=(48, 48), n_stations=24
+    )
+    dp = DataProcessor()
+    dp.set_coord_maps_from_extent(
+        dem.coords["latitude"].min(), dem.coords["latitude"].max(),
+        dem.coords["longitude"].min(), dem.coords["longitude"].max(),
+    )
+    base_n = dp(base, method="mean_std")
+    dem_n = dp(dem.fillna(0.0).rename("elevation"), method="min_max")
+    st_n = dp(stations, method="mean_std")
+    return dp, base_n, dem_n, st_n, base
+
+
+def make_loader(pipeline, **kw):
+    dp, base_n, dem_n, st_n, base = pipeline
+    defaults = dict(
+        context=[base_n, st_n],
+        target=st_n,
+        aux_at_targets=dem_n,
+        internal_density=32,
+        grid_multiple=16,
+    )
+    defaults.update(kw)
+    return TaskLoader(**defaults), base.coords["time"]
+
+
+def test_basic_task_shapes(pipeline):
+    tl, times = make_loader(pipeline)
+    task = tl([times[0], times[1]])
+    assert task.batch_size == 2
+    assert len(task.grids) == 1 and len(task.points) == 1
+    B, N, _ = task.points[0].x.shape
+    assert N == tl.point_capacity and N % 8 == 0
+    assert task.xt.shape == (2, tl.target_capacity, 2)
+    assert task.yt_aux.shape[:2] == (2, tl.target_capacity)
+    assert len(task.x1g) % 16 == 0
+
+
+def test_internal_grid_covers_data(pipeline):
+    tl, _ = make_loader(pipeline)
+    assert tl.x1g.min() < 0 and tl.x1g.max() > 1
+
+
+def test_fraction_sampling_reduces_context(pipeline):
+    tl, times = make_loader(pipeline, context_sampling=["all", 0.3])
+    task = tl(times[0], seed_override=0)
+    full = tl(times[0], context_sampling=["all", "all"])
+    n_frac = float(np.asarray(task.points[0].mask).sum())
+    n_all = float(np.asarray(full.points[0].mask).sum())
+    assert n_frac == pytest.approx(0.3 * n_all, abs=2)
+
+
+def test_int_sampling(pipeline):
+    tl, times = make_loader(pipeline, context_sampling=["all", 5])
+    task = tl(times[0], seed_override=0)
+    assert float(np.asarray(task.points[0].mask).sum()) == 5
+
+
+def test_split_complementarity(pipeline):
+    """Split context stations and target stations must be disjoint."""
+    tl, times = make_loader(pipeline, context_sampling=["all", "split"],
+                            target_sampling="split", links=[(1, 0)])
+    task = tl(times[2], seed_override=7)
+    pm = np.asarray(task.points[0].mask)[0].astype(bool)
+    tm = np.asarray(task.yt_mask)[0].astype(bool)
+    ctx_pts = {tuple(p) for p in np.asarray(task.points[0].x)[0][pm].round(6).tolist()}
+    tgt_pts = {tuple(p) for p in np.asarray(task.xt)[0][tm].round(6).tolist()}
+    assert ctx_pts and tgt_pts
+    assert not (ctx_pts & tgt_pts)
+
+
+def test_datewise_deterministic(pipeline):
+    tl, times = make_loader(pipeline, context_sampling=["all", 0.5])
+    a = tl(times[0], datewise_deterministic=True)
+    b = tl(times[0], datewise_deterministic=True)
+    np.testing.assert_array_equal(np.asarray(a.points[0].x), np.asarray(b.points[0].x))
+    c = tl(times[1], datewise_deterministic=True)
+    assert not np.array_equal(np.asarray(a.points[0].x), np.asarray(c.points[0].x))
+
+
+def test_seed_override(pipeline):
+    tl, times = make_loader(pipeline, context_sampling=["all", 0.5])
+    a = tl(times[0], seed_override=42)
+    b = tl(times[0], seed_override=42)
+    np.testing.assert_array_equal(np.asarray(a.points[0].x), np.asarray(b.points[0].x))
+
+
+def test_aux_at_targets_values(pipeline):
+    dp, base_n, dem_n, st_n, base = pipeline
+    tl, times = make_loader(pipeline)
+    task = tl(times[0])
+    tm = np.asarray(task.yt_mask)[0].astype(bool)
+    aux = np.asarray(task.yt_aux)[0][tm, 0]
+    # aux channel is min_max-normalised elevation: must lie in [-1, 1]
+    assert aux.min() >= -1.0 - 1e-5 and aux.max() <= 1.0 + 1e-5
+
+
+def test_interp_grid_at_points_exact_on_nodes():
+    lat = np.linspace(0, 1, 5)
+    lon = np.linspace(0, 1, 7)
+    data = np.add.outer(lat, 2 * lon)
+    f = Field(data, ("x1", "x2"), {"x1": lat, "x2": lon}, "f")
+    got = interp_grid_at_points(f, np.array([0.25, 0.6]), np.array([0.5, 1 / 6]))
+    np.testing.assert_allclose(got, [0.25 + 1.0, 0.6 + 1 / 3], atol=1e-12)
+
+
+def test_pickle_roundtrip(pipeline, tmp_path):
+    import pickle
+
+    tl, times = make_loader(pipeline)
+    p = tmp_path / "tl.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(tl, f)
+    with open(p, "rb") as f:
+        tl2 = pickle.load(f)
+    t1 = tl(times[0])
+    t2 = tl2(times[0])
+    np.testing.assert_array_equal(np.asarray(t1.xt), np.asarray(t2.xt))
