@@ -58,6 +58,11 @@ class ConvNPConfig:
     kernel_size: int = 5
     compute_dtype: str = "bfloat16"   # U-Net compute precision
     sigmoid_output: bool = False  # ConvNP_sigmoid parity (train.py:639-655)
+    # (batch_axis, spatial_axis) mesh-axis names for SPMD sharding of the
+    # internal grid. When set (and a mesh is active via jax.set_mesh), the
+    # encoded grid is constrained to P(batch, spatial) so XLA partitions the
+    # U-Net spatially with automatic halo exchange over ICI.
+    mesh_axes: Optional[tuple] = None
 
     def make_likelihood(self) -> Likelihood:
         kw = {"rank": self.rank} if self.likelihood in ("gnp", "lowrank") else {}
@@ -101,6 +106,7 @@ class ConvNP(nn.Module):
             ls = self._lengthscale(f"ls_points_{i}")
             enc.append(setconv_encode_offgrid(task.x1g, task.x2g, p.x, p.y, p.mask, ls))
         h = jnp.concatenate(enc, axis=-1)
+        h = _maybe_shard_grid(h, cfg)
 
         # ---- U-Net over the internal grid ----------------------------------
         f = UNet(
@@ -110,6 +116,7 @@ class ConvNP(nn.Module):
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             name="unet",
         )(h)
+        f = _maybe_shard_grid(f, cfg)
 
         # ---- decode at targets ---------------------------------------------
         ls_dec = self._lengthscale("ls_decoder")
@@ -141,6 +148,16 @@ class ConvNP(nn.Module):
         """Normalised NLL (parity: ``model.loss_fn(task, normalise=True)``)."""
         raw = self.apply(params, task)
         return self.cfg.make_likelihood().nll(raw, task.yt, task.yt_mask)
+
+
+def _maybe_shard_grid(x: jnp.ndarray, cfg: ConvNPConfig) -> jnp.ndarray:
+    """Constrain (B, H, W, C) internal-grid tensors to P(batch, spatial)."""
+    if cfg.mesh_axes is None:
+        return x
+    from jax.sharding import PartitionSpec as P
+
+    batch_ax, spatial_ax = cfg.mesh_axes
+    return jax.lax.with_sharding_constraint(x, P(batch_ax, spatial_ax, None, None))
 
 
 def _sigmoid_squash(raw: jnp.ndarray, cfg: ConvNPConfig) -> jnp.ndarray:

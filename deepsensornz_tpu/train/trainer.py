@@ -1,0 +1,264 @@
+"""Training loop: jitted AdamW step, plateau LR, early stopping, NaN masking.
+
+Recipe parity with the reference training loop (``nzdownscale/downscaler/
+train.py:336-434``): AdamW (lr 5e-5 default), ReduceLROnPlateau(factor 0.1,
+patience 5), early stopping (patience 10), NaN-loss filtering
+(``train.py:371,395``), best-validation checkpointing + metadata
+(``train.py:409-417``), optional encoder freezing for fine-tunes
+(``train.py:243-258``).
+
+TPU-native mechanics:
+
+- one compiled train step serves every batch (static shapes via padded
+  TaskBatches) — no shape-bucketed re-tracing,
+- the learning rate is a traced argument, so plateau LR changes never
+  trigger recompilation,
+- NaN protection is in-graph (``jnp.where`` on loss/grads), not host-side
+  filtering,
+- data parallelism: pass a mesh and the step is jitted with the TaskBatch
+  batch-sharded over the ``data`` axis; XLA inserts the psum gradient
+  reduction over ICI.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from typing import Callable, Optional, Sequence
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deepsensornz_tpu.task.batching import take
+from deepsensornz_tpu.task.task import TaskBatch
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    opt_state: tuple
+    step: jnp.ndarray
+
+
+def _adamw_core(weight_decay: float) -> optax.GradientTransformation:
+    """Adam moments + decoupled weight decay; LR applied separately so it
+    can be a traced runtime value."""
+    return optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.scale_by_adam(),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale(-1.0),
+    )
+
+
+def freeze_mask(params, patterns: Sequence[str]):
+    """True where the parameter path matches any regex → update zeroed.
+
+    Used for fine-tune encoder freezing (reference freezes the encoder
+    unless training surface_pressure, ``train.py:243-258``). Our encoder =
+    SetConv length-scales + U-Net, matched with e.g.
+    ``("ls_grid", "ls_points", "unet")``.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    compiled = [re.compile(p) for p in patterns]
+
+    def frozen(path) -> bool:
+        s = "/".join(str(getattr(k, "key", k)) for k in path)
+        return any(c.search(s) for c in compiled)
+
+    frozen_paths = {jax.tree_util.keystr(path) for path, _ in flat if frozen(path)}
+
+    def mask_leaf(path, _):
+        return jax.tree_util.keystr(path) in frozen_paths
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
+def make_train_step(
+    model,
+    weight_decay: float = 0.0,
+    frozen_patterns: Sequence[str] = (),
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted (state, task, lr) → (state, loss) step."""
+    opt = _adamw_core(weight_decay)
+
+    def step(state: TrainState, task: TaskBatch, lr) -> tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(model.loss)(state.params, task)
+        ok = jnp.isfinite(loss)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        if frozen_patterns:
+            mask = freeze_mask(state.params, frozen_patterns)
+            updates = jax.tree.map(
+                lambda u, m: jnp.where(m, 0.0, u), updates, mask
+            )
+        params = optax.apply_updates(state.params, updates)
+        # if the loss was NaN, keep the old optimizer state too
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old) if jnp.issubdtype(jnp.asarray(new).dtype, jnp.floating) else new,
+            opt_state, state.opt_state,
+        )
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return new_state, jnp.where(ok, loss, jnp.nan)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model) -> Callable:
+    """Jitted validation loss (``model.loss_fn(task, normalise=True)``)."""
+
+    def eval_step(params, task: TaskBatch) -> jnp.ndarray:
+        return model.loss(params, task)
+
+    return jax.jit(eval_step)
+
+
+def init_state(model, rng, example_task: TaskBatch, weight_decay: float = 0.0,
+               params=None) -> TrainState:
+    if params is None:
+        params = model.init(rng, example_task)
+    opt_state = _adamw_core(weight_decay).init(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.asarray(0))
+
+
+class PlateauScheduler:
+    """Host-side ReduceLROnPlateau (factor 0.1, patience 5 defaults;
+    ``train.py:355``)."""
+
+    def __init__(self, lr: float, factor: float = 0.1, patience: int = 5,
+                 min_lr: float = 0.0):
+        self.lr = float(lr)
+        self.factor = factor
+        self.patience = patience
+        self.min_lr = min_lr
+        self.best = np.inf
+        self.bad_epochs = 0
+
+    def step(self, val_loss: float) -> float:
+        if np.isfinite(val_loss) and val_loss < self.best - 1e-12:
+            self.best = val_loss
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.bad_epochs = 0
+        return self.lr
+
+
+class EarlyStopping:
+    """Stop after ``patience`` epochs without val improvement
+    (``train.py:427-429``)."""
+
+    def __init__(self, patience: int = 10):
+        self.patience = patience
+        self.best = np.inf
+        self.bad_epochs = 0
+
+    def step(self, val_loss: float) -> bool:
+        if np.isfinite(val_loss) and val_loss < self.best - 1e-12:
+            self.best = val_loss
+            self.bad_epochs = 0
+            return False
+        self.bad_epochs += 1
+        return self.bad_epochs >= self.patience
+
+
+class Trainer:
+    """High-level loop with best-val checkpointing — ``Train`` parity
+    (``train.py:97-117,336-434``)."""
+
+    def __init__(
+        self,
+        model,
+        lr: float = 5e-5,
+        weight_decay: float = 0.0,
+        frozen_patterns: Sequence[str] = (),
+        seed: int = 0,
+    ):
+        self.model = model
+        self.lr0 = lr
+        self.weight_decay = weight_decay
+        self.train_step = make_train_step(model, weight_decay, frozen_patterns)
+        self.eval_step = make_eval_step(model)
+        self.rng = jax.random.key(seed)
+
+    def fit(
+        self,
+        train_tasks: TaskBatch,
+        val_tasks: Optional[TaskBatch] = None,
+        n_epochs: int = 30,
+        batch_size: int = 8,
+        params=None,
+        plateau_patience: int = 5,
+        plateau_factor: float = 0.1,
+        early_stop_patience: int = 10,
+        checkpoint_dir: Optional[str] = None,
+        metadata: Optional[dict] = None,
+        shuffle: bool = True,
+        verbose: bool = True,
+    ) -> dict:
+        """Train; returns {params, train_losses, val_losses, best_val, ...}."""
+        from deepsensornz_tpu.train.checkpoint import save_checkpoint
+
+        state = init_state(self.model, self.rng, take(train_tasks, np.arange(min(batch_size, train_tasks.batch_size))),
+                           self.weight_decay, params=params)
+        sched = PlateauScheduler(self.lr0, plateau_factor, plateau_patience)
+        stopper = EarlyStopping(early_stop_patience)
+        n = train_tasks.batch_size
+        order_rng = np.random.default_rng(0)
+        best_val = np.inf
+        best_params = state.params
+        train_losses, val_losses = [], []
+        lr = self.lr0
+        for epoch in range(n_epochs):
+            t0 = time.time()
+            idx = order_rng.permutation(n) if shuffle else np.arange(n)
+            losses = []
+            for s in range(0, n - batch_size + 1, batch_size):
+                batch = take(train_tasks, idx[s: s + batch_size])
+                state, loss = self.train_step(state, batch, lr)
+                losses.append(float(loss))
+            finite = [l for l in losses if np.isfinite(l)]  # NaN filter (train.py:395)
+            train_loss = float(np.mean(finite)) if finite else np.nan
+            train_losses.append(train_loss)
+
+            if val_tasks is not None:
+                val_loss = float(self.eval_step(state.params, val_tasks))
+            else:
+                val_loss = train_loss
+            val_losses.append(val_loss)
+
+            if np.isfinite(val_loss) and val_loss < best_val:
+                best_val = val_loss
+                best_params = state.params
+                if checkpoint_dir is not None:
+                    save_checkpoint(
+                        checkpoint_dir, state.params,
+                        opt_state=state.opt_state, step=int(state.step),
+                        metadata={**(metadata or {}),
+                                  "train_losses": train_losses,
+                                  "val_losses": val_losses,
+                                  "best_val": best_val,
+                                  "epoch": epoch},
+                    )
+            lr = sched.step(val_loss)
+            if verbose:
+                print(
+                    f"epoch {epoch:3d}  train {train_loss:.4f}  val {val_loss:.4f}"
+                    f"  lr {lr:.2e}  {time.time()-t0:.1f}s"
+                )
+            if stopper.step(val_loss):
+                break
+        return {
+            "params": best_params,
+            "final_state": state,
+            "train_losses": train_losses,
+            "val_losses": val_losses,
+            "best_val": best_val,
+        }

@@ -1,0 +1,113 @@
+"""Multi-device mesh: dp gradient equivalence + spatial sharding compile.
+
+Runs on the 8-device virtual CPU mesh (conftest) — the same path the driver
+uses to validate multi-chip sharding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from deepsensornz_tpu.data.processor import DataProcessor
+from deepsensornz_tpu.data.synthetic import synthetic_bundle
+from deepsensornz_tpu.models.convnp import ConvNP, ConvNPConfig
+from deepsensornz_tpu.parallel.mesh import (
+    DATA_AXIS,
+    SPATIAL_AXIS,
+    make_mesh,
+    pad_batch_to_multiple,
+    shard_task,
+)
+from deepsensornz_tpu.task.batching import take
+from deepsensornz_tpu.task.loader import TaskLoader
+from deepsensornz_tpu.train.trainer import init_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setting():
+    base, dem, stations = synthetic_bundle(
+        n_times=8, base_hw=(16, 16), dem_hw=(48, 48), n_stations=16
+    )
+    dp = DataProcessor()
+    dp.set_coord_maps_from_extent(
+        dem.coords["latitude"].min(), dem.coords["latitude"].max(),
+        dem.coords["longitude"].min(), dem.coords["longitude"].max(),
+    )
+    tl = TaskLoader(
+        context=[dp(base, method="mean_std"), dp(stations, method="mean_std")],
+        target=dp(stations),
+        aux_at_targets=dp(dem.fillna(0.0).rename("elevation"), method="min_max"),
+        internal_density=32, grid_multiple=16,
+    )
+    times = base.coords["time"]
+    return tl, times
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_loss_matches_single_device(setting):
+    tl, times = setting
+    cfg = ConvNPConfig(unet_channels=(8, 8), likelihood="cnp", internal_density=32,
+                       decoder_channels=8, mlp_hidden=8, compute_dtype="float32")
+    model = ConvNP(cfg)
+    task = tl(list(times[:8]))
+    params = model.init(jax.random.key(0), take(task, np.arange(1)))
+    single = float(model.loss(params, task))
+
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    sharded = shard_task(task, mesh)
+    with jax.set_mesh(mesh):
+        dp_loss = float(jax.jit(model.loss)(params, sharded))
+    assert dp_loss == pytest.approx(single, rel=1e-5)
+
+
+def test_dp_train_step_matches_single_device(setting):
+    tl, times = setting
+    cfg = ConvNPConfig(unet_channels=(8, 8), likelihood="cnp", internal_density=32,
+                       decoder_channels=8, mlp_hidden=8, compute_dtype="float32")
+    model = ConvNP(cfg)
+    task = tl(list(times[:8]))
+    state = init_state(model, jax.random.key(0), take(task, np.arange(2)))
+    step = make_train_step(model, donate=False)
+
+    s_single, l_single = step(state, task, 1e-3)
+
+    mesh = make_mesh(n_data=4, n_spatial=2)
+    sharded = shard_task(task, mesh)
+    with jax.set_mesh(mesh):
+        s_mesh, l_mesh = step(state, sharded, 1e-3)
+    assert float(l_mesh) == pytest.approx(float(l_single), rel=1e-5)
+    a = np.asarray(s_single.params["params"]["head_out"]["kernel"])
+    b = np.asarray(s_mesh.params["params"]["head_out"]["kernel"])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_spatial_sharding_full_train_step(setting):
+    """tp/sp-style spatial partitioning of the internal grid compiles+runs."""
+    tl, times = setting
+    cfg = ConvNPConfig(
+        unet_channels=(8, 8), likelihood="cnp", internal_density=32,
+        decoder_channels=8, mlp_hidden=8, compute_dtype="float32",
+        mesh_axes=(DATA_AXIS, SPATIAL_AXIS),
+    )
+    model = ConvNP(cfg)
+    task = tl(list(times[:4]))
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    with jax.set_mesh(mesh):
+        state = init_state(model, jax.random.key(0), take(task, np.arange(2)))
+        step = make_train_step(model, donate=False)
+        sharded = shard_task(task, mesh)
+        s2, loss = step(state, sharded, 1e-3)
+        assert np.isfinite(float(loss))
+
+
+def test_pad_batch_to_multiple(setting):
+    tl, times = setting
+    task = tl(list(times[:3]))
+    padded, n_real = pad_batch_to_multiple(task, 4)
+    assert padded.batch_size == 4 and n_real == 3
+    assert float(np.asarray(padded.yt_mask)[3].sum()) == 0.0

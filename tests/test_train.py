@@ -1,0 +1,124 @@
+"""Trainer: schedules, NaN protection, checkpointing, freezing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsensornz_tpu.data.processor import DataProcessor
+from deepsensornz_tpu.data.synthetic import synthetic_bundle
+from deepsensornz_tpu.models.convnp import ConvNP, ConvNPConfig
+from deepsensornz_tpu.task.batching import concat, take
+from deepsensornz_tpu.task.loader import TaskLoader
+from deepsensornz_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from deepsensornz_tpu.train.trainer import (
+    EarlyStopping,
+    PlateauScheduler,
+    Trainer,
+    freeze_mask,
+    init_state,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def setting():
+    base, dem, stations = synthetic_bundle(
+        n_times=10, base_hw=(16, 16), dem_hw=(48, 48), n_stations=16
+    )
+    dp = DataProcessor()
+    dp.set_coord_maps_from_extent(
+        dem.coords["latitude"].min(), dem.coords["latitude"].max(),
+        dem.coords["longitude"].min(), dem.coords["longitude"].max(),
+    )
+    tl = TaskLoader(
+        context=[dp(base, method="mean_std"), dp(stations, method="mean_std")],
+        target=dp(stations),
+        aux_at_targets=dp(dem.fillna(0.0).rename("elevation"), method="min_max"),
+        internal_density=32, grid_multiple=16,
+    )
+    times = base.coords["time"]
+    cfg = ConvNPConfig(unet_channels=(8, 8), likelihood="cnp", internal_density=32,
+                       decoder_channels=8, mlp_hidden=8, compute_dtype="float32")
+    model = ConvNP(cfg)
+    tasks = tl(list(times[:8]))
+    val = tl(list(times[8:10]))
+    return model, tasks, val
+
+
+def test_plateau_scheduler():
+    s = PlateauScheduler(lr=1.0, factor=0.1, patience=2)
+    assert s.step(1.0) == 1.0
+    assert s.step(0.9) == 1.0
+    s.step(0.95)
+    s.step(0.95)
+    lr = s.step(0.95)  # 3rd bad epoch > patience → drop
+    assert lr == pytest.approx(0.1)
+
+
+def test_early_stopping():
+    e = EarlyStopping(patience=2)
+    assert not e.step(1.0)
+    assert not e.step(1.1)
+    assert e.step(1.2)
+
+
+def test_trainer_fit_and_checkpoint(setting, tmp_path):
+    model, tasks, val = setting
+    tr = Trainer(model, lr=1e-3)
+    out = tr.fit(tasks, val, n_epochs=3, batch_size=4,
+                 checkpoint_dir=str(tmp_path / "ckpt"),
+                 metadata={"variable": "temperature"}, verbose=False)
+    assert len(out["train_losses"]) == 3
+    assert np.isfinite(out["best_val"])
+    loaded = load_checkpoint(str(tmp_path / "ckpt"), out["params"])
+    chex_equal = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        loaded["params"], out["params"],
+    )
+    assert all(jax.tree.leaves(chex_equal))
+    assert loaded["metadata"]["variable"] == "temperature"
+    assert "val_losses" in loaded["metadata"]
+
+
+def test_nan_loss_does_not_poison_params(setting):
+    model, tasks, val = setting
+    state = init_state(model, jax.random.key(0), take(tasks, np.arange(2)))
+    step = make_train_step(model)
+    poisoned = take(tasks, np.arange(2))
+    poisoned = poisoned.replace(yt=poisoned.yt.at[...].set(jnp.nan))
+    state2, loss = step(state, poisoned, 1e-3)
+    assert np.isnan(float(loss))
+    finite = jax.tree.map(lambda p: np.isfinite(np.asarray(p)).all(), state2.params)
+    assert all(jax.tree.leaves(finite))
+
+
+def test_freeze_mask_and_frozen_training(setting):
+    model, tasks, val = setting
+    state = init_state(model, jax.random.key(0), take(tasks, np.arange(2)))
+    mask = freeze_mask(state.params, ("unet", "ls_grid", "ls_points"))
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(mask)[0]
+    frozen = [v for p, v in leaves_with_path if "unet" in jax.tree_util.keystr(p)]
+    free = [v for p, v in leaves_with_path if "head_out" in jax.tree_util.keystr(p)]
+    assert frozen and all(frozen)
+    assert free and not any(free)
+
+    step = make_train_step(model, frozen_patterns=("unet", "ls_grid", "ls_points"),
+                           donate=False)
+    batch = take(tasks, np.arange(2))
+    state2, _ = step(state, batch, 1e-2)
+    before = state.params["params"]["unet"]["down_0"]["kernel"]
+    after = state2.params["params"]["unet"]["down_0"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    h_before = state.params["params"]["head_out"]["kernel"]
+    h_after = state2.params["params"]["head_out"]["kernel"]
+    assert not np.array_equal(np.asarray(h_before), np.asarray(h_after))
+
+
+def test_take_and_concat_roundtrip(setting):
+    model, tasks, val = setting
+    a = take(tasks, np.arange(3))
+    b = take(tasks, np.arange(3, 6))
+    c = concat([a, b])
+    np.testing.assert_array_equal(np.asarray(c.xt), np.asarray(take(tasks, np.arange(6)).xt))
+    np.testing.assert_array_equal(np.asarray(c.grids[0].y), np.asarray(take(tasks, np.arange(6)).grids[0].y))
