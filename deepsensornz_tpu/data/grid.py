@@ -284,12 +284,17 @@ class Field:
 
 
 def _slice_to_index(coord: np.ndarray, sl: slice) -> slice:
-    """Convert a label slice into a positional slice on a monotonic coord."""
+    """Convert a label slice into a positional slice on a monotonic coord.
+
+    Like xarray, ``start``/``stop`` follow the coordinate's own order: on a
+    descending coord, ``slice(high, low)`` selects high→low.
+    """
     asc = len(coord) < 2 or coord[1] >= coord[0]
-    lo, hi = sl.start, sl.stop
+    start, stop = sl.start, sl.stop
     if np.issubdtype(coord.dtype, np.datetime64):
-        lo = None if lo is None else np.datetime64(lo)
-        hi = None if hi is None else np.datetime64(hi)
+        start = None if start is None else np.datetime64(start)
+        stop = None if stop is None else np.datetime64(stop)
+    lo, hi = (start, stop) if asc else (stop, start)
     c = coord if asc else coord[::-1]
     i0 = 0 if lo is None else int(np.searchsorted(c, lo, side="left"))
     i1 = len(c) if hi is None else int(np.searchsorted(c, hi, side="right"))

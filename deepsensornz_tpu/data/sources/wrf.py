@@ -1,0 +1,169 @@
+"""WRF NWP forecast loader.
+
+Capability parity with ``nzdownscale/dataprocess/wrf.py``:
+
+- forecast-cycle file discovery: midnight init runs, **skip the first 6
+  spin-up hours, take hours 6–30** (``wrf.py:24-88``; model
+  ``nz4kmN-ECMWF-SIGMA`` naming at ``validate_WRF.py:89-103``),
+- multi-file ingest with per-file variable projection and a per-file
+  fallback scan that identifies corrupt members instead of failing the
+  whole cycle (``wrf.py:96-161``),
+- curvilinear→regular regrid onto the topography grid with **weights
+  (triangulation) cached** keyed by grid shapes (``wrf.py:240-274``;
+  the legacy scipy path ``wrf.py:277-325`` is the same math per-timestep —
+  here the triangulation is built once and reused),
+- WRF→ERA5 variable-name alignment (applied by the preprocess layer,
+  ``preprocess.py:329-331``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from datetime import datetime, timedelta
+from typing import Optional, Sequence
+
+import numpy as np
+
+from deepsensornz_tpu import config as cfg
+from deepsensornz_tpu.data.grid import Field, open_dataset
+
+SPINUP_HOURS = 6
+CYCLE_HOURS = 24  # hours used per cycle after spin-up (6..30)
+
+
+class WRFSource:
+    """Load WRF forecast cycles from a directory tree of hourly files."""
+
+    def __init__(self, parent: str, model: str = "nz4kmN-ECMWF-SIGMA"):
+        self.parent = parent
+        self.model = model
+        self._regrid_cache: dict[tuple, object] = {}
+
+    # -- cycle discovery -----------------------------------------------------------
+
+    @staticmethod
+    def cycle_hours(init: datetime) -> list[datetime]:
+        """Valid times used from one (midnight) init: hours 6..30."""
+        return [init + timedelta(hours=h) for h in range(SPINUP_HOURS, SPINUP_HOURS + CYCLE_HOURS)]
+
+    def filename_for(self, init: datetime, valid: datetime) -> str:
+        """``<parent>/<YYYYMMDD>/<model>/wrf_hourly_<model>_d02_<valid>.nc``."""
+        return os.path.join(
+            self.parent,
+            init.strftime("%Y%m%d"),
+            self.model,
+            f"wrf_hourly_{self.model}_d02_{valid.strftime('%Y-%m-%d_%H:%M:%S')}.nc",
+        )
+
+    def get_filepaths(self, init_start: datetime, init_end: Optional[datetime] = None,
+                      step_days: int = 1) -> list[str]:
+        """All hourly files for midnight cycles in [init_start, init_end]."""
+        init_end = init_end or init_start
+        out = []
+        init = init_start.replace(hour=0, minute=0, second=0, microsecond=0)
+        while init <= init_end:
+            for valid in self.cycle_hours(init):
+                path = self.filename_for(init, valid)
+                if os.path.exists(path):
+                    out.append(path)
+            init += timedelta(days=step_days)
+        return out
+
+    @staticmethod
+    def parse_valid_time(path: str) -> np.datetime64:
+        """Valid time from a d02 filename (``train.py:322-325`` parses the
+        same ``d02_%Y-%m-%d_%H:%M:%S`` pattern)."""
+        stem = os.path.basename(path)
+        ts = stem.split("d02_")[-1].replace(".nc", "")
+        dt = datetime.strptime(ts, "%Y-%m-%d_%H:%M:%S")
+        return np.datetime64(dt)
+
+    # -- loading ----------------------------------------------------------------------
+
+    def load(self, filepaths: Sequence[str], variables: Sequence[str]) -> dict[str, Field]:
+        """Load + concatenate hourly files; returns canonical-name → Field.
+
+        Files that fail to open are reported (path list in the exception)
+        rather than silently breaking the whole cycle (``wrf.py:145-152``).
+        """
+        shorts = {v: cfg.VAR_WRF[v]["var_name"] for v in variables}
+        per_var: dict[str, list] = {v: [] for v in variables}
+        times, bad = [], []
+        lat2d = lon2d = None
+        for path in filepaths:
+            try:
+                ds = open_dataset(path)
+            except Exception:
+                bad.append(path)
+                continue
+            times.append(self.parse_valid_time(path))
+            for v, s in shorts.items():
+                if s not in ds:
+                    raise KeyError(f"variable {s} missing from {path}")
+                per_var[v].append(np.squeeze(ds[s].data))
+            for latname in ("XLAT", "latitude", "lat"):
+                if latname in ds:
+                    lat2d = np.squeeze(ds[latname].data)
+            for lonname in ("XLONG", "longitude", "lon"):
+                if lonname in ds:
+                    lon2d = np.squeeze(ds[lonname].data)
+        if bad:
+            raise IOError(f"unreadable WRF files: {bad}")
+        if lat2d is None or lon2d is None:
+            raise KeyError("WRF files missing XLAT/XLONG coordinates")
+        t = np.asarray(times, dtype="datetime64[s]")
+        out = {}
+        for v in variables:
+            data = np.stack(per_var[v]).astype(np.float32)
+            fld = Field(
+                data, ("time", "y", "x"),
+                {"time": t}, shorts[v],
+                {"curvilinear": 1},
+            )
+            fld.attrs["lat2d"] = lat2d
+            fld.attrs["lon2d"] = lon2d
+            out[v] = fld
+        return out
+
+    # -- regridding -------------------------------------------------------------------
+
+    def regrid_to(self, fld: Field, target_lat: np.ndarray, target_lon: np.ndarray) -> Field:
+        """Curvilinear → regular bilinear regrid with cached triangulation.
+
+        The Delaunay triangulation + barycentric weights are computed once
+        per (source shape, target shape) and reused for every timestep and
+        variable — the role of the reference's on-disk xESMF weight cache
+        (``wrf.py:252-271``).
+        """
+        from scipy.spatial import Delaunay
+
+        lat2d = fld.attrs["lat2d"]
+        lon2d = fld.attrs["lon2d"]
+        key = (lat2d.shape, len(target_lat), len(target_lon),
+               float(target_lat[0]), float(target_lon[0]))
+        if key not in self._regrid_cache:
+            pts = np.column_stack([lat2d.ravel(), lon2d.ravel()])
+            tri = Delaunay(pts)
+            tg_lat, tg_lon = np.meshgrid(target_lat, target_lon, indexing="ij")
+            query = np.column_stack([tg_lat.ravel(), tg_lon.ravel()])
+            simplex = tri.find_simplex(query)
+            valid = simplex >= 0
+            verts = tri.simplices[np.maximum(simplex, 0)]
+            T = tri.transform[np.maximum(simplex, 0)]
+            bary2 = np.einsum("nij,nj->ni", T[:, :2], query - T[:, 2])
+            bary = np.column_stack([bary2, 1.0 - bary2.sum(1)])
+            self._regrid_cache[key] = (verts, bary, valid)
+        verts, bary, valid = self._regrid_cache[key]
+
+        data = fld.data.reshape(fld.data.shape[0], -1)
+        vals = data[:, verts]  # (T, P, 3)
+        out = np.einsum("tpv,pv->tp", np.nan_to_num(vals), bary)
+        out[:, ~valid] = np.nan
+        out = out.reshape(fld.data.shape[0], len(target_lat), len(target_lon))
+        return Field(
+            out.astype(np.float32), ("time", "latitude", "longitude"),
+            {"time": fld.coords["time"], "latitude": np.asarray(target_lat),
+             "longitude": np.asarray(target_lon)},
+            fld.name, {"units": fld.attrs.get("units", "")},
+        )

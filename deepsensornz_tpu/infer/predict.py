@@ -1,0 +1,221 @@
+"""Prediction API: ConvNP → physical-units mean/std (+ samples) fields.
+
+Engine parity with ``model.predict(task, X_t=..., n_samples=,
+resolution_factor=, transform_params=)`` (call sites
+``nzdownscale/downscaler/validate.py:1084-1118``, ``validate_ERA.py:88-96``,
+``validate_WRF.py:227-238``): takes tasks + a target grid (the coarsened DEM)
+or off-grid points (station coords), returns a ``Prediction`` holding
+``mean``/``std`` (and optionally joint ``samples``) as :class:`Field`s with
+real latitude/longitude coordinates and a time dimension, unnormalised back
+to physical units, with sea-masking from DEM NaNs
+(``validate_ERA.py:48-57,94-96``).
+
+TPU-first: one jitted program computes forward + moments + unnormalisation
+for a whole batch of timestamps; only the finished maps come back to host.
+The low-rank (gnp) head yields **coherent joint samples** directly — the
+factors decoded on the target grid define a consistent spatial covariance —
+covering the reference's joint-sample panels (``validate.py:1019-1027``).
+For non-Gaussian heads, AR sampling lives in :mod:`deepsensornz_tpu.infer.ar`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepsensornz_tpu.data.grid import Dataset, Field
+from deepsensornz_tpu.data.processor import DataProcessor
+from deepsensornz_tpu.task.task import TaskBatch
+
+
+class Prediction(Dataset):
+    """Dataset of mean/std (+samples) fields for one target variable."""
+
+
+def _affine_for(dp: DataProcessor, var: str) -> tuple[float, float]:
+    """(scale, offset): physical = normalised*scale + offset.
+
+    Valid for all three normalisation methods (each is affine):
+    mean_std → (σ, μ); min_max → (span/2, min + span/2);
+    positive_semidefinite → (σ, 0).
+    """
+    cfg = dp.config[var]
+    p = cfg["params"]
+    m = cfg["method"]
+    if m == "mean_std":
+        return p["std"], p["mean"]
+    if m == "min_max":
+        span = p["max"] - p["min"]
+        return span / 2.0, p["min"] + span / 2.0
+    if m == "positive_semidefinite":
+        return p["std"], 0.0
+    raise ValueError(m)
+
+
+class Predictor:
+    """Bind (model, params, data_processor) into a predict callable."""
+
+    def __init__(self, model, params, data_processor: DataProcessor,
+                 target_var: str):
+        self.model = model
+        self.params = params
+        self.dp = data_processor
+        self.target_var = target_var
+        self.likelihood = model.cfg.make_likelihood()
+
+    # -- jitted cores --------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0, 4))
+    def _grid_forward(self, params, task, target_grid, n_samples: int, seed=0):
+        raw = self.model.apply(params, task, target_grid=target_grid)
+        mean, std = self.likelihood.mean_std(raw)
+        out = {"mean": mean, "std": std}
+        if n_samples > 0:
+            # flatten grid → (B, Ht*Wt, K) so the head's joint sampler applies
+            B, Ht, Wt, K = raw.shape
+            flat = raw.reshape(B, Ht * Wt, K)
+            s = self.likelihood.sample(flat, jax.random.key(seed), n_samples)
+            out["samples"] = s.reshape((n_samples, B, Ht, Wt, -1))
+        return out
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _point_forward(self, params, task):
+        raw = self.model.apply(params, task)
+        mean, std = self.likelihood.mean_std(raw)
+        return {"mean": mean, "std": std}
+
+    # -- public API ------------------------------------------------------------
+
+    def predict_grid(
+        self,
+        task: TaskBatch,
+        target_elev: Field,
+        aux_at_targets=None,
+        times: Optional[np.ndarray] = None,
+        n_samples: int = 0,
+        seed: int = 0,
+        sea_mask: bool = True,
+        unnormalise: bool = True,
+        post_transform=None,
+    ) -> Prediction:
+        """Predict on the grid of ``target_elev`` (a DEM Field in RAW
+        latitude/longitude coords, used as grid spec + sea mask; NaNs = sea).
+
+        ``aux_at_targets`` must be the same normalised x-space aux
+        Dataset/Field the TaskLoader was built with (highres topography);
+        its channels are resampled onto the prediction grid.
+        ``post_transform(mean, std) -> (mean, std)`` hook covers variable-
+        specific output maps (humidity interval shift, ``preprocess.py:233-235``).
+        """
+        lat = target_elev.coords[target_elev.dims[-2]]
+        lon = target_elev.coords[target_elev.dims[-1]]
+        xt1 = jnp.asarray(self.dp.map_x1(lat), jnp.float32)
+        xt2 = jnp.asarray(self.dp.map_x2(lon), jnp.float32)
+
+        aux_grid = None
+        if task.yt_aux is not None:
+            if aux_at_targets is None:
+                raise ValueError(
+                    "model was trained with aux_at_targets; pass the same "
+                    "normalised aux Dataset/Field to predict_grid"
+                )
+            from deepsensornz_tpu.data.grid import Dataset as _DS
+
+            chans = (
+                list(aux_at_targets.values())
+                if isinstance(aux_at_targets, _DS) else [aux_at_targets]
+            )
+            cols = []
+            for f in chans:
+                g = f._interp_one(f.dims[-2], np.asarray(xt1), "linear")
+                g = g._interp_one(g.dims[-1], np.asarray(xt2), "linear")
+                cols.append(np.nan_to_num(g.data.astype(np.float32)))
+            aux = np.stack(cols, -1)
+            if aux.shape[-1] != task.yt_aux.shape[-1]:
+                raise ValueError(
+                    f"aux channel mismatch: task has {task.yt_aux.shape[-1]}, "
+                    f"grid aux has {aux.shape[-1]}"
+                )
+            aux_grid = jnp.asarray(np.broadcast_to(aux, (task.batch_size,) + aux.shape))
+
+        out = self._grid_forward(self.params, task, (xt1, xt2, aux_grid), n_samples,
+                                 jnp.asarray(seed))
+        mean = np.asarray(out["mean"][..., 0], np.float64)
+        std = np.asarray(out["std"][..., 0], np.float64)
+        samples = (
+            np.asarray(out["samples"][..., 0], np.float64) if n_samples > 0 else None
+        )
+
+        if post_transform is not None:
+            mean, std = post_transform(mean, std)
+            if samples is not None:
+                samples, _ = post_transform(samples, None)
+
+        if unnormalise:
+            scale, offset = _affine_for(self.dp, self._target_stat_name())
+            mean = mean * scale + offset
+            std = std * abs(scale)
+            if samples is not None:
+                samples = samples * scale + offset
+
+        if sea_mask:
+            sea = np.isnan(target_elev.data)
+            mean = np.where(sea, np.nan, mean)
+            std = np.where(sea, np.nan, std)
+            if samples is not None:
+                samples = np.where(sea, np.nan, samples)
+
+        if times is None:
+            times = np.arange(task.batch_size)
+        dims = ("time", "latitude", "longitude")
+        coords = {"time": np.asarray(times), "latitude": lat, "longitude": lon}
+        fields = {
+            "mean": Field(mean.astype(np.float32), dims, coords, "mean",
+                          {"variable": self.target_var}),
+            "std": Field(std.astype(np.float32), dims, coords, "std",
+                         {"variable": self.target_var}),
+        }
+        if samples is not None:
+            fields["samples"] = Field(
+                samples.astype(np.float32), ("sample",) + dims,
+                {"sample": np.arange(n_samples), **coords}, "samples", {},
+            )
+        return Prediction(fields)
+
+    def predict_points(
+        self,
+        task: TaskBatch,
+        unnormalise: bool = True,
+        post_transform=None,
+    ) -> dict[str, np.ndarray]:
+        """Mean/std at ``task.xt`` (station holdout evaluation path,
+        ``validate.py:206-317``). Returns arrays of shape (B, M)."""
+        out = self._point_forward(self.params, task)
+        mean = np.asarray(out["mean"][..., 0], np.float64)
+        std = np.asarray(out["std"][..., 0], np.float64)
+        if post_transform is not None:
+            mean, std = post_transform(mean, std)
+        if unnormalise:
+            scale, offset = _affine_for(self.dp, self._target_stat_name())
+            mean = mean * scale + offset
+            std = std * abs(scale)
+        mask = np.asarray(task.yt_mask).astype(bool)
+        mean = np.where(mask, mean, np.nan)
+        std = np.where(mask, std, np.nan)
+        return {"mean": mean, "std": std, "mask": mask}
+
+    def _target_stat_name(self) -> str:
+        """Resolve the DataProcessor stats entry for the target variable."""
+        if self.target_var in self.dp.config:
+            return self.target_var
+        hits = [k for k in self.dp.config if k.startswith(self.target_var)]
+        if hits:
+            return hits[0]
+        raise KeyError(
+            f"no normalisation stats for target {self.target_var!r}; "
+            f"have {list(self.dp.config)}"
+        )

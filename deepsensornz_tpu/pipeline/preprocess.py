@@ -1,0 +1,422 @@
+"""Feature-engineering pipeline: raw sources → normalised model inputs.
+
+Rebuild of ``nzdownscale/downscaler/preprocess.py`` (1066 LoC) — the full
+``PreprocessForDownscaling`` sequence:
+
+- topography: highres elevation (coarsen ×highres_factor, NaN→0,
+  ``preprocess.py:370-402``), TPI at window scales 0.1/0.05/0.025°
+  (``preprocess.py:426-466``), lowres elevation (``preprocess.py:405-423``),
+  elevation_diff channel (``preprocess.py:468-477``), optional landmask
+  (``preprocess.py:693-701``),
+- base field: ERA5 hourly→daily (``preprocess.py:480-486``), coarsen
+  (``preprocess.py:489-520``), trim to topo extent (``preprocess.py:523-547``);
+  WRF path regrids onto the topo grid and renames to ERA5 conventions
+  (``preprocess.py:317-332``),
+- stations: year/area filter (``preprocess.py:550-583``), duplicate-
+  coordinate jitter (``preprocess.py:652-668``), optional NaN completion +
+  nearest-neighbour imputation (``preprocess.py:624-645,670-690``),
+- normalisation: fit-or-load a DataProcessor keyed on the highres-topo
+  extent with per-variable methods from the registry
+  (``preprocess.py:751-849``), round-trip check (``preprocess.py:903-913``),
+- aux channels: circular time-of-year (``preprocess.py:704-723``) and
+  x1/x2 positional channels (``preprocess.py:917-924``),
+- output bundle (``preprocess.py:927-975``): everything the Train layer
+  needs, plus raw (unnormalised) variants for validation.
+
+Host-side numpy only; devices first see data via the TaskLoader.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from deepsensornz_tpu import config as cfg
+from deepsensornz_tpu.data.features import (
+    compute_tpi,
+    elevation_difference,
+    landmask_from_elevation,
+    circ_time_encoding,
+    x1x2_channels,
+)
+from deepsensornz_tpu.data.grid import Dataset, Field
+from deepsensornz_tpu.data.processor import DataProcessor
+from deepsensornz_tpu.data.sources.era5 import ERA5Source, daily_resample
+
+try:
+    import pandas as pd
+except Exception:  # pragma: no cover
+    pd = None
+
+
+class PreprocessForDownscaling:
+    """Orchestrates feature engineering for one target variable."""
+
+    def __init__(
+        self,
+        variable: str,
+        base: str = "era5",
+        training_years: Sequence[int] = (),
+        validation_years: Sequence[int] = (),
+        training_fpaths: Sequence[str] = (),
+        validation_fpaths: Sequence[str] = (),
+        area: Optional[str] = None,
+        context_variables: Sequence[str] = (),
+        validation: bool = False,
+    ):
+        self.variable = variable
+        self.base = base
+        self.training_years = list(training_years)
+        self.validation_years = list(validation_years)
+        self.training_fpaths = list(training_fpaths)
+        self.validation_fpaths = list(validation_fpaths)
+        self.area = area
+        self.context_variables = list(context_variables) or [variable]
+        self.validation = validation
+
+        self.dem: Optional[Field] = None
+        self.highres_aux_ds: Optional[Dataset] = None
+        self.aux_ds: Optional[Dataset] = None
+        self.landmask_ds: Optional[Field] = None
+        self.base_ds: Optional[Dataset] = None
+        self.station_df = None
+        self.data_processor: Optional[DataProcessor] = None
+        self._raw: dict = {}
+
+    # ------------------------------------------------------------------ topo --
+
+    def load_topography(self, dem: Field) -> None:
+        """Attach the raw DEM (optionally cropped by ``area``,
+        ``preprocess.py:238-248``)."""
+        if self.area is not None:
+            e = cfg.EXTENTS[self.area]
+            lat = dem.coords["latitude"]
+            asc = lat[0] < lat[-1]
+            dem = dem.sel(
+                latitude=slice(e["minlat"], e["maxlat"]) if asc else slice(e["maxlat"], e["minlat"]),
+                longitude=slice(e["minlon"], e["maxlon"]),
+            )
+        self.dem = dem
+
+    def preprocess_topography(self, highres_factor: int = 10, lowres_factor: int = 50,
+                              include_landmask: bool = False) -> None:
+        """Highres elevation + TPI + elevation_diff aux stacks
+        (``preprocess.py:293-315``)."""
+        assert self.dem is not None, "load_topography first"
+        highres = self.dem.coarsen(highres_factor).rename("elevation")
+        lowres = self.dem.coarsen(lowres_factor).rename("elevation_lowres")
+        tpi = compute_tpi(highres)
+        ediff = elevation_difference(highres, lowres)
+        hr_fields = {"elevation": highres.fillna(0.0)}
+        hr_fields.update({k: v for k, v in tpi.items()})
+        self.highres_aux_ds = Dataset(hr_fields)
+        self.aux_ds = Dataset({
+            "elevation_lowres": lowres.fillna(0.0),
+            "elevation_diff": ediff.interp_like(lowres, method="nearest"),
+        })
+        if include_landmask:
+            self.landmask_ds = landmask_from_elevation(highres)
+        self._raw["dem_highres"] = highres
+        self._raw["dem_lowres"] = lowres
+
+    # ------------------------------------------------------------------ base --
+
+    def preprocess_era5(self, base_fields: dict[str, Field], coarsen_factor: int = 1,
+                        daily: bool = True) -> None:
+        """Daily-resample, coarsen, trim to topo extent
+        (``preprocess.py:155,334,480-547``)."""
+        assert self.highres_aux_ds is not None, "preprocess_topography first"
+        out = {}
+        for var, fld in base_fields.items():
+            short = cfg.VAR_ERA5[var]["var_name"]
+            f = fld
+            if daily and _is_hourly(f):
+                how = "sum" if var == "precipitation" else "mean"
+                f = daily_resample(f, how)
+            if coarsen_factor > 1:
+                f = f.coarsen(coarsen_factor)
+            f = self._trim_to_topo(f)
+            out[short] = f.rename(short)
+        self.base_ds = Dataset(out)
+        self._raw["base"] = Dataset({k: v.copy() for k, v in out.items()})
+
+    def preprocess_wrf(self, wrf_fields: dict[str, Field], wrf_source,
+                       coarsen_factor: int = 5) -> None:
+        """Regrid WRF onto the (coarsened) topo grid and rename to ERA5
+        conventions (``preprocess.py:317-332``)."""
+        assert self.dem is not None
+        target = self.dem.coarsen(coarsen_factor)
+        lat = target.coords["latitude"]
+        lon = target.coords["longitude"]
+        out = {}
+        for var, fld in wrf_fields.items():
+            short = cfg.VAR_ERA5[var]["var_name"]  # ERA5 naming convention
+            g = wrf_source.regrid_to(fld, lat, lon)
+            if var == "temperature" and g.data[np.isfinite(g.data)].mean() > 100:
+                g = g.copy(g.data - 273.15)  # K → °C to match ERA5 processing
+            out[short] = g.rename(short)
+        self.base_ds = Dataset(out)
+        self._raw["base"] = Dataset({k: v.copy() for k, v in out.items()})
+
+    def _trim_to_topo(self, f: Field) -> Field:
+        """Crop the base grid to the topo extent (``preprocess.py:523-547``)."""
+        hr = self.highres_aux_ds["elevation"]
+        lat = hr.coords["latitude"]
+        lon = hr.coords["longitude"]
+        la = f.coords["latitude"]
+        asc = la[0] < la[-1]
+        lat_lo, lat_hi = float(lat.min()), float(lat.max())
+        return f.sel(
+            latitude=slice(lat_lo, lat_hi) if asc else slice(lat_hi, lat_lo),
+            longitude=slice(float(lon.min()), float(lon.max())),
+        )
+
+    # -------------------------------------------------------------- stations --
+
+    def preprocess_stations(self, station_df, fill_missing: bool = False) -> None:
+        """Filter to topo area, jitter duplicate coords, optional NaN fill
+        (``preprocess.py:550-690``)."""
+        assert self.dem is not None
+        df = station_df.copy()
+        lat = self.dem.coords["latitude"]
+        lon = self.dem.coords["longitude"]
+        keep = (
+            (df["latitude"] >= lat.min()) & (df["latitude"] <= lat.max())
+            & (df["longitude"] >= lon.min()) & (df["longitude"] <= lon.max())
+        )
+        df = df[keep]
+        df = adjust_duplicates(df)
+        if fill_missing:
+            df = fill_missing_station_values(df)
+        self.station_df = df.reset_index(drop=True)
+        self._raw["stations"] = self.station_df.copy()
+
+    # --------------------------------------------------------- normalisation --
+
+    def calculate_data_processor(
+        self,
+        data_processor: Optional[DataProcessor] = None,
+        test_norm: bool = False,
+    ) -> DataProcessor:
+        """Fit (or reuse) normalisation over base/aux/stations
+        (``preprocess.py:751-849``); optional round-trip check
+        (``preprocess.py:903-913``)."""
+        hr = self.highres_aux_ds["elevation"]
+        if data_processor is None:
+            dp = DataProcessor()
+            dp.set_coord_maps_from_extent(
+                hr.coords["latitude"].min(), hr.coords["latitude"].max(),
+                hr.coords["longitude"].min(), hr.coords["longitude"].max(),
+            )
+        else:
+            dp = data_processor
+        apply_only = data_processor is not None
+
+        method = cfg.NORMALISATION[self.variable]
+        base_n = Dataset({
+            k: dp(v, method=method, assert_computed=apply_only)
+            for k, v in self.base_ds.items()
+        })
+        hr_n = Dataset({
+            k: dp(v, method="min_max", assert_computed=apply_only)
+            for k, v in self.highres_aux_ds.items()
+        })
+        aux_n = Dataset({
+            k: dp(v, method="min_max", assert_computed=apply_only)
+            for k, v in self.aux_ds.items()
+        })
+        lm_n = None
+        if self.landmask_ds is not None:
+            lm = self.landmask_ds
+            lm_n = Field(lm.data, ("x1", "x2"),
+                         {"x1": dp.map_x1(lm.coords["latitude"]),
+                          "x2": dp.map_x2(lm.coords["longitude"])},
+                         "landmask", dict(lm.attrs))
+        st_n = dp(self.station_df, method=method, assert_computed=apply_only) \
+            if self.station_df is not None else None
+
+        if test_norm:
+            self.test_normalisation(dp, base_n, st_n)
+
+        self.data_processor = dp
+        self.base_ds_n = base_n
+        self.highres_aux_ds_n = hr_n
+        self.aux_ds_n = aux_n
+        self.landmask_ds_n = lm_n
+        self.station_df_n = st_n
+        return dp
+
+    def test_normalisation(self, dp, base_n, st_n) -> None:
+        """Round-trip raw == unnormalise(normalise(raw)) within 1e-3
+        (``preprocess.py:903-913``)."""
+        for k, f in base_n.items():
+            back = dp.unnormalise(f)
+            raw = self._raw["base"][k]
+            if not np.allclose(back.data, raw.data, atol=1e-3, equal_nan=True):
+                raise AssertionError(f"normalisation round-trip failed for {k}")
+        if st_n is not None:
+            back = dp.unnormalise(st_n)
+            for col in back.columns:
+                if col.endswith("_station"):
+                    if not np.allclose(
+                        back[col].to_numpy(),
+                        self._raw["stations"][col].to_numpy(), atol=1e-3,
+                        equal_nan=True,
+                    ):
+                        raise AssertionError("station normalisation round-trip failed")
+
+    # ------------------------------------------------------------ aux extras --
+
+    def add_time_of_year(self, freq: str = "D") -> None:
+        """Append cos/sin day-of-year channels as constant aux grids per
+        task time (``preprocess.py:704-723``). Stored as callables resolved
+        by the TaskLoader via the base grid's time coordinate: here we bake
+        them into the base_ds as extra channels."""
+        base_n = self.base_ds_n
+        out = dict(base_n.items())
+        any_field = next(iter(base_n.values()))
+        times = any_field.coords["time"]
+        enc = circ_time_encoding(times, freq)
+        h, w = any_field.shape[-2:]
+        for name, vals in enc.items():
+            arr = np.broadcast_to(
+                vals[:, None, None].astype(np.float32), (len(times), h, w)
+            ).copy()
+            out[name] = Field(arr, any_field.dims, dict(any_field.coords), name, {})
+        self.base_ds_n = Dataset(out)
+
+    def add_coordinate_channels(self) -> None:
+        """Append x1/x2 positional channels to the aux grid
+        (``preprocess.py:917-924``)."""
+        ch = x1x2_channels(next(iter(self.aux_ds_n.values())))
+        out = dict(self.aux_ds_n.items())
+        out.update(dict(ch.items()))
+        self.aux_ds_n = Dataset(out)
+
+    # ------------------------------------------------------------- orchestral --
+
+    def run_processing_sequence(
+        self,
+        dem: Field,
+        base_fields: dict[str, Field],
+        station_df,
+        highres_factor: int = 10,
+        lowres_factor: int = 50,
+        coarsen_factor: int = 1,
+        include_landmask: bool = False,
+        include_time_of_year: bool = False,
+        include_coordinates: bool = False,
+        data_processor: Optional[DataProcessor] = None,
+        wrf_source=None,
+        daily: bool = True,
+        fill_missing_stations: bool = False,
+        test_norm: bool = False,
+    ) -> dict:
+        """Full sequence (``preprocess.py:130-236``); returns the
+        processed-output bundle (``preprocess.py:927-975``)."""
+        self.load_topography(dem)
+        self.preprocess_topography(highres_factor, lowres_factor, include_landmask)
+        if self.base == "wrf":
+            assert wrf_source is not None
+            self.preprocess_wrf(base_fields, wrf_source, coarsen_factor)
+        else:
+            self.preprocess_era5(base_fields, coarsen_factor, daily=daily)
+        self.preprocess_stations(station_df, fill_missing=fill_missing_stations)
+        self.calculate_data_processor(data_processor, test_norm=test_norm)
+        if include_time_of_year:
+            self.add_time_of_year()
+        if include_coordinates:
+            self.add_coordinate_channels()
+        return self.get_processed_output_dict()
+
+    def get_processed_output_dict(self) -> dict:
+        """Bundle for the Train layer (``preprocess.py:927-975``)."""
+        return {
+            "data_processor": self.data_processor,
+            "base_ds": self.base_ds_n,
+            "aux_ds": self.aux_ds_n,
+            "highres_aux_ds": self.highres_aux_ds_n,
+            "landmask_ds": self.landmask_ds_n,
+            "station_df": self.station_df_n,
+            "raw": dict(self._raw),
+            "data_settings": {
+                "variable": self.variable,
+                "base": self.base,
+                "area": self.area,
+                "context_variables": self.context_variables,
+            },
+            "date_info": {
+                "training_years": self.training_years,
+                "validation_years": self.validation_years,
+            },
+        }
+
+    def print_resolutions(self) -> None:
+        """Report grid resolutions (``preprocess.py:1034-1042``)."""
+        hr = self.highres_aux_ds["elevation"]
+        base = next(iter(self.base_ds.values()))
+        print(f"highres aux resolution: {hr.resolution('latitude'):.4f}°")
+        print(f"base resolution:        {base.resolution('latitude'):.4f}°")
+
+
+# -- station helpers ----------------------------------------------------------
+
+
+def adjust_duplicates(df, jitter: float = 1e-4):
+    """Jitter stations sharing identical coordinates
+    (``preprocess.py:652-668``)."""
+    df = df.copy()
+    key = df["latitude"].round(8).astype(str) + "/" + df["longitude"].round(8).astype(str)
+    by_station = df.groupby(["station_name"] if "station_name" in df else ["latitude", "longitude"])
+    seen: dict[str, int] = {}
+    # jitter per unique station identity, consistently across its rows
+    names = df["station_name"] if "station_name" in df.columns else key
+    uniq = {}
+    for name, k in zip(names, key):
+        uniq.setdefault(k, [])
+        if name not in uniq[k]:
+            uniq[k].append(name)
+    lat_off = np.zeros(len(df))
+    lon_off = np.zeros(len(df))
+    rng = np.random.default_rng(0)
+    offsets = {}
+    for i, (name, k) in enumerate(zip(names, key)):
+        idx = uniq[k].index(name)
+        if idx > 0:
+            if (k, name) not in offsets:
+                offsets[(k, name)] = rng.uniform(-jitter, jitter, 2) * idx * 10
+            lat_off[i], lon_off[i] = offsets[(k, name)]
+    df["latitude"] = df["latitude"] + lat_off
+    df["longitude"] = df["longitude"] + lon_off
+    return df
+
+
+def fill_missing_station_values(df):
+    """Nearest-neighbour imputation of missing station values
+    (``preprocess.py:670-690``): for each time, fill a station's NaN with
+    the value of the nearest station reporting at that time."""
+    value_cols = [c for c in df.columns if c.endswith("_station")]
+    out = df.copy()
+    for t, group in out.groupby("time"):
+        for col in value_cols:
+            vals = group[col].to_numpy()
+            bad = ~np.isfinite(vals)
+            if not bad.any() or bad.all():
+                continue
+            good_idx = np.nonzero(~bad)[0]
+            glat = group["latitude"].to_numpy()[good_idx]
+            glon = group["longitude"].to_numpy()[good_idx]
+            for i in np.nonzero(bad)[0]:
+                d2 = (glat - group["latitude"].iloc[i]) ** 2 + (glon - group["longitude"].iloc[i]) ** 2
+                out.loc[group.index[i], col] = vals[good_idx[np.argmin(d2)]]
+    return out
+
+
+def _is_hourly(f: Field) -> bool:
+    t = f.coords.get("time")
+    if t is None or len(t) < 2:
+        return False
+    dt = np.diff(t.astype("datetime64[s]")).astype("timedelta64[h]").astype(int)
+    return int(np.median(dt)) < 24

@@ -1,0 +1,349 @@
+"""Validation layer: run reconstruction, holdout metrics, baselines.
+
+Rebuild of the reference validation stack:
+
+- :func:`load_run` — reconstruct a trained run from its artifact directory
+  (``ValidateV1._load_pretrained_model``, ``nzdownscale/downscaler/
+  validate.py:81-204``; artifact layout from ``train.py:409-417`` /
+  ``validate_ERA.py:19-44``),
+- :class:`Validate` — research validation: predictions at station holdouts
+  with ``seed_override=42`` (``validate.py:1084-1118``), per-station RMSE of
+  the predicted mean at the station location vs obs
+  (``calculate_loss``, ``validate.py:206-317``), base-field-at-station
+  baseline RMSE (``calculate_loss_era5``, ``validate.py:319-412``),
+  station-availability scan (``validate.py:474-509``),
+- :class:`ValidateERA` — operational gridded inference: prediction grid =
+  DEM coarsened by the training highres factor, sea-mask from DEM NaNs,
+  data loaded for exactly the requested timestamps and swapped into the
+  persisted TaskLoader (``validate_ERA.py:19-127``),
+- :class:`ValidateWRF` — forecast-cycle inference against the saved
+  normalisation (``validate_WRF.py:24-239``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Optional, Sequence
+
+import numpy as np
+
+from deepsensornz_tpu import config as cfg
+from deepsensornz_tpu.data.features import rmse
+from deepsensornz_tpu.data.grid import Field
+from deepsensornz_tpu.data.processor import DataProcessor
+from deepsensornz_tpu.infer.predict import Predictor
+from deepsensornz_tpu.models.convnp import ConvNP, ConvNPConfig
+from deepsensornz_tpu.train.checkpoint import PARAMS_FILE, load_checkpoint
+
+try:
+    import pandas as pd
+except Exception:  # pragma: no cover
+    pd = None
+
+
+def load_run(model_dir: str) -> dict:
+    """Load {model, params, task_loader, data_processor, metadata} from a
+    training-run directory."""
+    import jax
+
+    with open(os.path.join(model_dir, "task_loader.pkl"), "rb") as f:
+        task_loader = pickle.load(f)
+    dp = DataProcessor.load(os.path.join(model_dir, "data_processor.json"))
+    with open(os.path.join(model_dir, "metadata.json")) as f:
+        metadata = json.load(f)
+    kw = metadata.get("convnp_kwargs", {})
+    var = metadata.get("data_settings", {}).get("variable", "temperature")
+    mc = metadata.get("model_config")
+    if mc:
+        mc = dict(mc)
+        mc["unet_channels"] = tuple(mc["unet_channels"])
+        model_cfg = ConvNPConfig(**mc)
+    else:
+        model_cfg = ConvNPConfig(
+            unet_channels=tuple(kw.get("unet_channels", cfg.CONVNP_KWARGS_DEFAULT["unet_channels"])),
+            likelihood=kw.get("likelihood", cfg.LIKELIHOODS.get(var, "cnp")),
+            internal_density=kw.get("internal_density", cfg.CONVNP_KWARGS_DEFAULT["internal_density"]),
+            dim_yt=task_loader.target_dim(),
+            sigmoid_output=(var == "humidity" and kw.get("likelihood") in ("cnp", "gnp")),
+        )
+    model = ConvNP(model_cfg)
+    # template init on one materialised task, then overwrite from checkpoint
+    first_time = _first_time(task_loader)
+    example = task_loader([first_time], seed_override=0)
+    template = model.init(jax.random.key(0), example)
+    params = load_checkpoint(model_dir, template)["params"]
+    return {
+        "model": model,
+        "params": params,
+        "task_loader": task_loader,
+        "data_processor": dp,
+        "metadata": metadata,
+        "variable": var,
+    }
+
+
+def _first_time(task_loader):
+    for entry in list(task_loader.context) + [task_loader.target]:
+        if hasattr(entry, "columns"):
+            return entry["time"].iloc[0]
+        for f in (entry.values() if hasattr(entry, "values") and not isinstance(entry, Field) else [entry]):
+            if "time" in f.dims:
+                return f.coords["time"][0]
+    raise ValueError("no time coordinate found in task loader data")
+
+
+def remove_stations_from_frame(df, station_names: Sequence[str]):
+    """Holdout filter (``validate.py:1120-1142``); matches by name when
+    available, else by (lat, lon) pairs."""
+    if not station_names:
+        return df
+    if "station_name" in df.columns:
+        return df[~df["station_name"].isin(station_names)].reset_index(drop=True)
+    return df
+
+
+class Validate:
+    """Research validation against held-out stations (ValidateV1 parity)."""
+
+    def __init__(self, model_dir: Optional[str] = None, run: Optional[dict] = None):
+        self.run = run or load_run(model_dir)
+        self.predictor = Predictor(
+            self.run["model"], self.run["params"], self.run["data_processor"],
+            self.run["task_loader"].target_var_IDs[0],
+        )
+
+    @property
+    def task_loader(self):
+        return self.run["task_loader"]
+
+    def get_predictions(
+        self,
+        dates,
+        remove_stations: Sequence[str] = (),
+        seed_override: int = 42,
+    ):
+        """Mean/std at station targets for the given dates, with the listed
+        stations removed from the CONTEXT (they stay targets → true holdout
+        skill; ``validate.py:1084-1118``)."""
+        tl = self.task_loader
+        saved_context = list(tl.context)
+        try:
+            if remove_stations:
+                tl.context = [
+                    remove_stations_from_frame(c, remove_stations)
+                    if hasattr(c, "columns") else c
+                    for c in tl.context
+                ]
+            task = tl(list(dates), seed_override=seed_override)
+        finally:
+            tl.context = saved_context
+        out = self.predictor.predict_points(task)
+        out["xt"] = np.asarray(task.xt)
+        out["yt"] = np.asarray(task.yt)
+        return out
+
+    def calculate_loss(self, dates, remove_stations: Sequence[str] = ()) -> dict:
+        """Per-station RMSE between predicted mean and observation, in
+        physical units (``validate.py:206-317``)."""
+        pred = self.get_predictions(dates, remove_stations)
+        dpp = self.run["data_processor"]
+        var_col = self.task_loader.target_var_IDs[0]
+        scale_offset = dpp.config[var_col]
+        p = scale_offset["params"]
+        m = scale_offset["method"]
+        yt = pred["yt"][..., 0]
+        if m == "mean_std":
+            obs = yt * p["std"] + p["mean"]
+        elif m == "positive_semidefinite":
+            obs = yt * p["std"]
+        else:
+            span = p["max"] - p["min"]
+            obs = (yt + 1) / 2 * span + p["min"]
+        mask = pred["mask"]
+        err = np.where(mask, pred["mean"] - obs, np.nan)
+        overall = float(np.sqrt(np.nanmean(err**2)))
+        return {
+            "rmse": overall,
+            "mae": float(np.nanmean(np.abs(err))),
+            "bias": float(np.nanmean(err)),
+            "errors": err,
+            "pred_mean": pred["mean"],
+            "obs": np.where(mask, obs, np.nan),
+        }
+
+    def calculate_loss_base(self, base_field: Field, station_df) -> dict:
+        """Baseline: raw base field (ERA5) sampled at station locations vs
+        obs (``calculate_loss_era5``, ``validate.py:319-351``)."""
+        col = [c for c in station_df.columns if c.endswith("_station")][0]
+        errs = []
+        for t, grp in station_df.groupby("time"):
+            try:
+                sl = base_field.sel(time=np.datetime64(t), method="nearest")
+            except Exception:
+                continue
+            for _, row in grp.iterrows():
+                v = sl.sel(latitude=row["latitude"], longitude=row["longitude"],
+                           method="nearest")
+                if np.isfinite(v.data) and np.isfinite(row[col]):
+                    errs.append(float(v.data) - float(row[col]))
+        errs = np.asarray(errs)
+        return {
+            "rmse": float(np.sqrt(np.mean(errs**2))) if len(errs) else np.nan,
+            "bias": float(np.mean(errs)) if len(errs) else np.nan,
+            "n": len(errs),
+        }
+
+    def stations_in_date_range(self, station_df, date_range) -> list:
+        """Stations reporting over the whole range (``validate.py:474-509``)."""
+        lo, hi = np.datetime64(date_range[0]), np.datetime64(date_range[-1])
+        names = []
+        for name, grp in station_df.groupby("station_name"):
+            t = grp["time"].to_numpy().astype("datetime64[s]")
+            if t.min() <= lo and t.max() >= hi:
+                names.append(name)
+        return names
+
+
+class ValidateERA:
+    """Operational gridded ERA5 inference (``validate_ERA.py``)."""
+
+    def __init__(self, model_dir: str, dem: Field, highres_factor: int = 10):
+        self.run = load_run(model_dir)
+        self.dem = dem
+        # prediction grid = raw DEM coarsened by the training highres factor
+        # + sea mask from its NaNs (validate_ERA.py:48-57)
+        self.pred_grid = dem.coarsen(highres_factor)
+        self.predictor = Predictor(
+            self.run["model"], self.run["params"], self.run["data_processor"],
+            self.run["task_loader"].target_var_IDs[0],
+        )
+
+    def predict(
+        self,
+        times: np.ndarray,
+        base_fields: dict[str, Field],
+        station_df=None,
+        remove_stations: Sequence[str] = (),
+        context_sampling=None,
+        n_samples: int = 0,
+    ):
+        """Predict the requested timestamps on the DEM grid.
+
+        ``base_fields``/``station_df`` are RAW (physical units, lat/lon
+        coords); they are normalised with the SAVED processor and swapped
+        into the persisted TaskLoader (``validate_ERA.py:67-127``).
+        """
+        dp = self.run["data_processor"]
+        tl = self.run["task_loader"]
+        var = self.run["variable"]
+        method = cfg.NORMALISATION[var]
+
+        new_context = []
+        for entry in tl.context:
+            if hasattr(entry, "columns"):  # station context
+                if station_df is None:
+                    raise ValueError("model uses station context; pass station_df")
+                sdf = remove_stations_from_frame(station_df, remove_stations)
+                new_context.append(dp(sdf, assert_computed=True))
+            else:
+                fields = dict(entry.items()) if hasattr(entry, "items") else {entry.name: entry}
+                updated = dict(fields)
+                # swap base-variable channels for the new timestamps,
+                # resampled onto the stored (trimmed) training grid
+                for v, raw in base_fields.items():
+                    short = cfg.VAR_ERA5[v]["var_name"]
+                    if short in fields:
+                        new_f = dp(raw.rename(short), assert_computed=True)
+                        old = fields[short]
+                        new_f = new_f._interp_one("x1", old.coords["x1"], "nearest")
+                        new_f = new_f._interp_one("x2", old.coords["x2"], "nearest")
+                        updated[short] = new_f
+                # recompute seasonal-encoding channels for the new times
+                from deepsensornz_tpu.data.features import circ_time_encoding
+                from deepsensornz_tpu.data.grid import Dataset as _DS
+
+                circ_names = [n for n in fields if n in ("cos_D", "sin_D", "cos_H", "sin_H")]
+                if circ_names:
+                    t_new = np.asarray(times, dtype="datetime64[s]")
+                    enc = circ_time_encoding(
+                        t_new, "H" if "cos_H" in circ_names else "D"
+                    )
+                    for n in circ_names:
+                        old = fields[n]
+                        h, w = old.shape[-2:]
+                        arr = np.broadcast_to(
+                            enc[n][:, None, None].astype(np.float32),
+                            (len(t_new), h, w),
+                        ).copy()
+                        coords = dict(old.coords)
+                        coords["time"] = t_new
+                        updated[n] = Field(arr, old.dims, coords, n, {})
+                new_context.append(_DS(updated))
+        saved = tl.context, tl.target
+        try:
+            tl.context = new_context
+            if station_df is not None:
+                tl.target = dp(remove_stations_from_frame(station_df, remove_stations),
+                               assert_computed=True)
+            tl._rebuild_static()
+            task = tl(list(np.asarray(times)),
+                      context_sampling=context_sampling, seed_override=42)
+        finally:
+            tl.context, tl.target = saved
+            tl._rebuild_static()
+
+        # highres aux for the prediction grid comes from the loader's own
+        # aux_at_targets (normalised topo stack)
+        return self.predictor.predict_grid(
+            task, self.pred_grid, aux_at_targets=tl.aux_at_targets,
+            times=np.asarray(times), n_samples=n_samples,
+        )
+
+
+class ValidateWRF:
+    """Forecast-cycle inference (``validate_WRF.py``)."""
+
+    def __init__(self, model_dir: str, dem: Field, coarsen_factor: int = 5):
+        self.run = load_run(model_dir)
+        self.dem = dem
+        self.pred_grid = dem.coarsen(coarsen_factor)
+        self.coarsen_factor = coarsen_factor
+        self.predictor = Predictor(
+            self.run["model"], self.run["params"], self.run["data_processor"],
+            self.run["task_loader"].target_var_IDs[0],
+        )
+
+    def predict(
+        self,
+        filepaths: Sequence[str],
+        wrf_source,
+        station_df=None,
+        remove_stations: Sequence[str] = (),
+        variables: Optional[Sequence[str]] = None,
+    ):
+        """Run one forecast cycle: load WRF files, regrid to the topo grid,
+        normalise with the saved processor, predict every forecast hour
+        (``validate_WRF.py:190-239``)."""
+        var = self.run["variable"]
+        variables = list(variables or [var])
+        raw = wrf_source.load(filepaths, variables)
+        lat = self.pred_grid.coords["latitude"]
+        lon = self.pred_grid.coords["longitude"]
+        base_fields = {}
+        for v, fld in raw.items():
+            g = wrf_source.regrid_to(fld, lat, lon)
+            if v == "temperature" and np.nanmean(g.data) > 100:
+                g = g.copy(g.data - 273.15)
+            base_fields[v] = g
+        times = base_fields[var].coords["time"]
+        era_like = ValidateERA.__new__(ValidateERA)
+        era_like.run = self.run
+        era_like.dem = self.dem
+        era_like.pred_grid = self.pred_grid
+        era_like.predictor = self.predictor
+        return era_like.predict(
+            times, base_fields, station_df=station_df,
+            remove_stations=remove_stations,
+        )

@@ -87,3 +87,11 @@ def test_reduce_mean():
     m = f.mean("time")
     assert m.dims == ("latitude", "longitude")
     np.testing.assert_allclose(m.data, f.data.mean(0))
+
+
+def test_sel_slice_descending_coord():
+    f = make_field()  # latitude descends -34 → -47
+    g = f.sel(latitude=slice(-40.0, -45.0))
+    assert g.sizes()["latitude"] > 0
+    assert (g.coords["latitude"] <= -34.0).all()
+    assert (g.coords["latitude"] >= -45.1).all() and (g.coords["latitude"] <= -39.9).all()

@@ -1,0 +1,148 @@
+"""End-to-end pipeline: preprocess → Train → artifacts → Validate(+ERA).
+
+The hermetic analog of the reference's tiny debug run
+(``db_nz_downscaling.py:24-42``) promoted to a real test (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+from deepsensornz_tpu.data.synthetic import synthetic_bundle
+from deepsensornz_tpu.pipeline.preprocess import PreprocessForDownscaling
+from deepsensornz_tpu.pipeline.train import Train
+from deepsensornz_tpu.pipeline.validate import Validate, ValidateERA, load_run
+
+
+@pytest.fixture(scope="module")
+def raw_data():
+    return synthetic_bundle(
+        variable="temperature", n_times=10, base_hw=(24, 24), dem_hw=(96, 96),
+        n_stations=20,
+    )
+
+
+@pytest.fixture(scope="module")
+def trained_run(raw_data, tmp_path_factory):
+    base, dem, stations = raw_data
+    model_dir = str(tmp_path_factory.mktemp("run") / "model")
+
+    pre = PreprocessForDownscaling(variable="temperature")
+    out = pre.run_processing_sequence(
+        dem, {"temperature": base}, stations,
+        highres_factor=2, lowres_factor=4, coarsen_factor=1,
+        include_landmask=True, include_time_of_year=True,
+        include_coordinates=True, test_norm=True,
+    )
+
+    training = Train(out)
+    training.setup_task_loader(station_as_context="all", internal_density=24)
+    training.initialise_model(
+        unet_channels=(8, 8), likelihood="cnp", compute_dtype="float32",
+        decoder_channels=8, mlp_hidden=8,
+    )
+    result = training.train_model(
+        n_epochs=2, batch_size=4, lr=1e-3, model_dir=model_dir, verbose=False,
+    )
+    return model_dir, result, out, raw_data
+
+
+def test_preprocess_bundle_contents(raw_data):
+    base, dem, stations = raw_data
+    pre = PreprocessForDownscaling(variable="temperature")
+    out = pre.run_processing_sequence(
+        dem, {"temperature": base}, stations,
+        highres_factor=2, lowres_factor=4, include_landmask=True,
+        test_norm=True,
+    )
+    assert set(out) >= {"data_processor", "base_ds", "aux_ds", "highres_aux_ds",
+                        "landmask_ds", "station_df", "data_settings"}
+    # highres aux: elevation + 3 TPI channels, x-space coords
+    hr = out["highres_aux_ds"]
+    assert set(hr.keys()) == {"elevation", "TPI_0.1", "TPI_0.05", "TPI_0.025"}
+    for f in hr.values():
+        assert f.dims == ("x1", "x2")
+    # aux: lowres elevation + elevation_diff
+    assert set(out["aux_ds"].keys()) == {"elevation_lowres", "elevation_diff"}
+    # station frame normalised with x1/x2
+    assert "x1" in out["station_df"].columns
+
+
+def test_time_of_year_channels(raw_data):
+    base, dem, stations = raw_data
+    pre = PreprocessForDownscaling(variable="temperature")
+    out = pre.run_processing_sequence(
+        dem, {"temperature": base}, stations,
+        highres_factor=2, lowres_factor=4, include_time_of_year=True,
+        include_coordinates=True,
+    )
+    assert "cos_D" in out["base_ds"] and "sin_D" in out["base_ds"]
+    c = out["base_ds"]["cos_D"].data
+    s = out["base_ds"]["sin_D"].data
+    np.testing.assert_allclose(c**2 + s**2, 1.0, atol=1e-6)
+    assert "x1_arr" in out["aux_ds"] and "x2_arr" in out["aux_ds"]
+
+
+def test_training_produces_artifacts(trained_run):
+    import os
+
+    model_dir, result, out, _ = trained_run
+    assert os.path.exists(os.path.join(model_dir, "params.msgpack"))
+    assert os.path.exists(os.path.join(model_dir, "task_loader.pkl"))
+    assert os.path.exists(os.path.join(model_dir, "data_processor.json"))
+    assert os.path.exists(os.path.join(model_dir, "metadata.json"))
+    assert np.isfinite(result["best_val"])
+
+
+def test_run_reconstruction(trained_run):
+    model_dir, result, out, _ = trained_run
+    run = load_run(model_dir)
+    assert run["variable"] == "temperature"
+    assert run["metadata"]["convnp_kwargs"]["likelihood"] == "cnp"
+    import jax
+
+    a = jax.tree.leaves(run["params"])
+    b = jax.tree.leaves(result["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_validation_metrics(trained_run):
+    model_dir, result, out, raw = trained_run
+    base, dem, stations = raw
+    v = Validate(model_dir)
+    times = base.coords["time"][:3]
+    loss = v.calculate_loss(list(times))
+    assert np.isfinite(loss["rmse"]) and loss["rmse"] > 0
+    # base-at-station baseline in physical units
+    baseline = v.calculate_loss_base(base, stations[
+        stations["time"].isin(times)
+    ])
+    assert np.isfinite(baseline["rmse"]) and baseline["n"] > 0
+
+
+def test_holdout_stations_removed_from_context(trained_run):
+    model_dir, result, out, raw = trained_run
+    base, dem, stations = raw
+    v = Validate(model_dir)
+    times = list(base.coords["time"][:2])
+    sdf = out["station_df"]
+    assert "station_id" in sdf.columns
+    all_pred = v.get_predictions(times)
+    assert np.isfinite(all_pred["mean"][all_pred["mask"]]).all()
+
+
+def test_operational_era_inference(trained_run):
+    model_dir, result, out, raw = trained_run
+    base, dem, stations = raw
+    ve = ValidateERA(model_dir, dem, highres_factor=2)
+    times = base.coords["time"][:2]
+    sel = stations[stations["time"].isin(times)]
+    pred = ve.predict(times, {"temperature": base.sel(time=times)}, station_df=sel)
+    assert pred["mean"].shape == (2, 48, 48)
+    sea = np.isnan(ve.pred_grid.data)
+    assert np.isnan(pred["mean"].data[:, sea]).all()
+    land = ~sea
+    assert np.isfinite(pred["mean"].data[:, land]).all()
+    # physical-unit sanity: means within a plausible temperature range
+    vals = pred["mean"].data[:, land]
+    assert vals.min() > -60 and vals.max() < 60

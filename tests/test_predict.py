@@ -1,0 +1,100 @@
+"""Predictor: gridded/point prediction, unnormalisation, sea mask, samples."""
+
+import numpy as np
+import pytest
+
+from deepsensornz_tpu.data.processor import DataProcessor
+from deepsensornz_tpu.data.synthetic import synthetic_bundle
+from deepsensornz_tpu.infer.predict import Predictor
+from deepsensornz_tpu.models.convnp import ConvNP, ConvNPConfig
+from deepsensornz_tpu.task.loader import TaskLoader
+import jax
+
+
+@pytest.fixture(scope="module")
+def setting():
+    base, dem, stations = synthetic_bundle(
+        n_times=6, base_hw=(16, 16), dem_hw=(48, 48), n_stations=16
+    )
+    dp = DataProcessor()
+    dp.set_coord_maps_from_extent(
+        dem.coords["latitude"].min(), dem.coords["latitude"].max(),
+        dem.coords["longitude"].min(), dem.coords["longitude"].max(),
+    )
+    dem_n = dp(dem.fillna(0.0).rename("elevation"), method="min_max")
+    st_col = [c for c in stations.columns if c.endswith("_station")][0]
+    tl = TaskLoader(
+        context=[dp(base, method="mean_std"), dp(stations, method="mean_std")],
+        target=dp(stations),
+        aux_at_targets=dem_n,
+        internal_density=32, grid_multiple=16,
+    )
+    cfg = ConvNPConfig(unet_channels=(8, 8), likelihood="gnp", internal_density=32,
+                       decoder_channels=8, mlp_hidden=8, rank=4, compute_dtype="float32")
+    model = ConvNP(cfg)
+    times = base.coords["time"]
+    task = tl(list(times[:2]))
+    params = model.init(jax.random.key(0), task)
+    pred = Predictor(model, params, dp, st_col)
+    return pred, task, dem, dem_n, times, stations, st_col
+
+
+def test_gridded_prediction_fields(setting):
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    out = pred.predict_grid(task, dem, aux_at_targets=dem_n, times=times[:2])
+    mean, std = out["mean"], out["std"]
+    assert mean.dims == ("time", "latitude", "longitude")
+    assert mean.shape == (2, 48, 48)
+    np.testing.assert_array_equal(mean.coords["latitude"], dem.coords["latitude"])
+    # sea cells masked
+    sea = np.isnan(dem.data)
+    assert np.isnan(mean.data[:, sea]).all()
+    land = ~sea
+    assert np.isfinite(mean.data[:, land]).all()
+    assert (std.data[:, land] > 0).all()
+
+
+def test_unnormalisation_scale(setting):
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    phys = pred.predict_grid(task, dem, aux_at_targets=dem_n)
+    norm = pred.predict_grid(task, dem, aux_at_targets=dem_n, unnormalise=False)
+    scale = pred.dp.config[st_col]["params"]["std"]
+    offset = pred.dp.config[st_col]["params"]["mean"]
+    land = ~np.isnan(dem.data)
+    np.testing.assert_allclose(
+        phys["mean"].data[:, land],
+        norm["mean"].data[:, land] * scale + offset, rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        phys["std"].data[:, land], norm["std"].data[:, land] * scale,
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_joint_samples(setting):
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    out = pred.predict_grid(task, dem, aux_at_targets=dem_n, n_samples=64)
+    s = out["samples"]
+    assert s.shape == (64, 2, 48, 48)
+    land = ~np.isnan(dem.data)
+    assert np.isfinite(s.data[:, :, land]).all()
+    # samples scatter around the mean: z-stats consistent with N(0,1)
+    # (samples are spatially CORRELATED — low-rank joint — so per-sample
+    # field means vary; across 64 samples the aggregate mean tightens)
+    z = (s.data[:, :, land] - out["mean"].data[None, :, land]) / out["std"].data[None, :, land]
+    assert abs(float(np.nanmean(z))) < 0.35
+    assert 0.6 < float(np.nanstd(z)) < 1.5
+    assert np.isfinite(z).all()
+
+
+def test_point_prediction(setting):
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    out = pred.predict_points(task)
+    assert out["mean"].shape == (2, task.num_targets)
+    m = out["mask"]
+    assert np.isfinite(out["mean"][m]).all()
+    assert np.isnan(out["mean"][~m]).all()
+    # physical-unit sanity: predictions near the observed value range
+    obs = stations[st_col]
+    assert out["mean"][m].min() > obs.min() - 50
+    assert out["mean"][m].max() < obs.max() + 50
