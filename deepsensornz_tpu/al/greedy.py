@@ -1,0 +1,166 @@
+"""Greedy station placement — engine parity with
+``deepsensor.active_learning.GreedyAlgorithm`` + ``Stddev`` acquisition
+(imported by the reference at ``nzdownscale/downscaler/validate.py:26-27``,
+``experiments/deepsensor/nz_downscaling.py:22-23``: the station-placement
+capability surface).
+
+Two search modes:
+
+- ``exhaustive``: for each remaining candidate, hypothetically add it to
+  the context (pseudo-observed at the current predictive mean) and score
+  the acquisition over the target set; pick the best. All candidates are
+  scored in ONE batched forward — candidates ride the batch axis, so the
+  search is a single device program per placement round.
+- ``fast``: place at the candidate with maximum current predictive std
+  (equivalent argmax for a single placement; greedier approximation for
+  sequences).
+
+After each placement the chosen point is fed back as context (value = its
+predicted mean), so subsequent placements account for earlier ones.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepsensornz_tpu.task.task import PointContext, TaskBatch
+
+
+class Stddev:
+    """Acquisition: mean predictive standard deviation over targets
+    (lower after adding a sensor = better placement)."""
+
+    def __call__(self, mean: jnp.ndarray, std: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        m = mask.astype(jnp.float32)
+        return jnp.sum(std[..., 0] * m, -1) / jnp.maximum(jnp.sum(m, -1), 1.0)
+
+
+class GreedyAlgorithm:
+    """Sequential greedy placement of ``n_placements`` new stations."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        acquisition: Optional[Callable] = None,
+        ar_context_idx: int = -1,
+        mode: str = "exhaustive",
+    ):
+        self.model = model
+        self.params = params
+        self.acquisition = acquisition or Stddev()
+        self.ar_context_idx = ar_context_idx
+        self.mode = mode
+        self.lik = model.cfg.make_likelihood()
+
+    # -- jitted cores ------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _predict(self, params, task):
+        raw = self.model.apply(params, task)
+        return self.lik.mean_std(raw)
+
+    # -- public ---------------------------------------------------------------------
+
+    def run(
+        self,
+        task: TaskBatch,
+        candidates: np.ndarray,  # (S, 2) candidate x-space coords
+        n_placements: int = 1,
+        candidate_aux: Optional[np.ndarray] = None,  # (S, A) aux at candidates
+    ) -> dict:
+        """Greedy placement on a SINGLE task (batch size 1).
+
+        Returns {"placements": (n, 2), "acquisition_history": [...]}.
+        """
+        if task.batch_size != 1:
+            raise ValueError("active learning runs on a single task (B=1)")
+        idx = self.ar_context_idx % len(task.points)
+        dy = self.model.cfg.dim_yt
+        S = len(candidates)
+        cand = jnp.asarray(candidates, jnp.float32)
+
+        placements, history = [], []
+        current = task
+        for _ in range(n_placements):
+            # predictive mean/std at the candidate sites (for feedback value
+            # and for fast mode)
+            probe = self._probe_at(current, cand, candidate_aux)
+            c_mean, c_std = self._predict(self.params, probe)
+
+            if self.mode == "fast":
+                best = int(np.argmax(np.asarray(c_std[0, :, 0])))
+                score = float(np.asarray(c_std[0, best, 0]))
+            else:
+                # batch the S hypothetical context-augmented tasks
+                scores = self._exhaustive_scores(current, cand, c_mean, idx)
+                best = int(np.argmin(scores))
+                score = float(scores[best])
+
+            placements.append(np.asarray(cand[best]))
+            history.append(score)
+            current = self._add_context_point(
+                current, idx, cand[best], c_mean[0, best], dy
+            )
+        return {
+            "placements": np.stack(placements),
+            "acquisition_history": history,
+            "final_task": current,
+        }
+
+    # -- helpers ------------------------------------------------------------------------
+
+    def _probe_at(self, task, cand, candidate_aux):
+        S = cand.shape[0]
+        aux = None
+        if task.yt_aux is not None:
+            A = task.yt_aux.shape[-1]
+            aux = (
+                jnp.asarray(candidate_aux, jnp.float32)[None]
+                if candidate_aux is not None else jnp.zeros((1, S, A), jnp.float32)
+            )
+        return task.replace(
+            xt=cand[None],
+            yt=jnp.zeros((1, S, self.model.cfg.dim_yt), jnp.float32),
+            yt_mask=jnp.ones((1, S), jnp.float32),
+            yt_aux=aux,
+        )
+
+    def _exhaustive_scores(self, task, cand, c_mean, idx) -> np.ndarray:
+        """Score every candidate in one batched forward: candidate s becomes
+        an extra context point of hypothetical task s."""
+        S = cand.shape[0]
+
+        def tile(leaf):
+            return jnp.repeat(leaf, S, axis=0) if leaf is not None and leaf.ndim >= 1 and leaf.shape[0] == 1 else leaf
+
+        tiled = jax.tree.map(lambda l: tile(l), task)
+        pc = tiled.points[idx]
+        new_x = jnp.concatenate([pc.x, cand[:, None, :]], axis=1)
+        new_y = jnp.concatenate([pc.y, c_mean[0][:, None, :]], axis=1)
+        new_m = jnp.concatenate([pc.mask, jnp.ones((S, 1), jnp.float32)], axis=1)
+        points = tuple(
+            PointContext(x=new_x, y=new_y, mask=new_m) if i == idx else p
+            for i, p in enumerate(tiled.points)
+        )
+        tiled = tiled.replace(points=points)
+        mean, std = self._predict(self.params, tiled)
+        scores = self.acquisition(mean, std, tiled.yt_mask)
+        return np.asarray(scores)
+
+    @staticmethod
+    def _add_context_point(task, idx, x_new, y_new, dy):
+        pc = task.points[idx]
+        new_x = jnp.concatenate([pc.x, x_new[None, None, :]], axis=1)
+        new_y = jnp.concatenate([pc.y, y_new[None, None, :dy]], axis=1)
+        new_m = jnp.concatenate([pc.mask, jnp.ones((1, 1), jnp.float32)], axis=1)
+        points = tuple(
+            PointContext(x=new_x, y=new_y, mask=new_m) if i == idx else p
+            for i, p in enumerate(task.points)
+        )
+        return task.replace(points=points)
