@@ -1,0 +1,87 @@
+"""Operational inference CLI.
+
+Rebuild of ``outputs/infer.py``: ``python -m deepsensornz_tpu.cli.infer
+--var temperature --model_name model --year 2020``; loops the months of the
+year, predicts every hour of each month on the DEM prediction grid with the
+standard 9-station holdout (``infer.py:74-84``), strips to the mean field,
+and writes one compressed provenance-attributed netCDF per month
+(``infer.py:93-112``) so a crashed year resumes at the failed month.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from deepsensornz_tpu.infer.writer import save_prediction
+from deepsensornz_tpu.pipeline.validate import ValidateERA
+
+# standard held-out stations for operational validation (role parity with
+# the fixed list at outputs/infer.py:74-84 — city-spread across NZ)
+DEFAULT_HOLDOUT_STATIONS = [
+    "auckland_aero", "wellington_aero", "christchurch_aero",
+    "dunedin_aero", "queenstown_aero", "hokitika_aero",
+    "napier_aero", "taupo_aero", "invercargill_aero",
+]
+
+
+def month_hours(year: int, month: int) -> np.ndarray:
+    start = np.datetime64(f"{year:04d}-{month:02d}-01", "h")
+    end = (
+        np.datetime64(f"{year + 1:04d}-01-01", "h") if month == 12
+        else np.datetime64(f"{year:04d}-{month + 1:02d}-01", "h")
+    )
+    return np.arange(start, end, np.timedelta64(1, "h"))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--var", required=True)
+    ap.add_argument("--model_name", required=True)
+    ap.add_argument("--year", type=int, required=True)
+    ap.add_argument("--months", type=int, nargs="*", default=None)
+    ap.add_argument("--out_dir", default="outputs")
+    ap.add_argument("--highres_factor", type=int, default=10)
+    ap.add_argument("--remove_stations", nargs="*", default=DEFAULT_HOLDOUT_STATIONS)
+    ns = ap.parse_args(argv)
+
+    from deepsensornz_tpu.data.sources.era5 import ERA5Source
+    from deepsensornz_tpu.data.sources.stations import StationSource
+    from deepsensornz_tpu.data.sources.topography import TopographySource
+    from deepsensornz_tpu.paths import get_data_paths
+
+    paths = get_data_paths()
+    model_dir = os.path.join(
+        paths["save_model"]["fpath"], ns.var, ns.model_name
+    )
+    dem = TopographySource(paths["topography"]["file"]).load()
+    validate = ValidateERA(model_dir, dem, highres_factor=ns.highres_factor)
+    era5 = ERA5Source(paths["era5"]["parent"])
+    stations = StationSource(paths["stations"]["parent"])
+
+    for month in ns.months or range(1, 13):
+        out_path = os.path.join(
+            ns.out_dir, ns.var, ns.model_name,
+            f"{ns.var}_{ns.year:04d}_{month:02d}.nc",
+        )
+        if os.path.exists(out_path):
+            print(f"skip existing {out_path}")
+            continue
+        hours = month_hours(ns.year, month)
+        base = era5.load_time(ns.var, hours)
+        sdf = stations.load_stations_time(ns.var, hours)
+        pred = validate.predict(
+            hours, {ns.var: base}, station_df=sdf,
+            remove_stations=ns.remove_stations,
+        )
+        save_prediction(
+            pred, out_path, ns.var, ns.model_name, mean_only=True,
+            attrs={"year": ns.year, "month": month},
+        )
+        print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -8,18 +8,21 @@ neuralprocesses SetConv scatter/gather served by torch/cuDNN):
   The pure-JAX separable path (:mod:`.setconv`) materialises a
   (B, N, W, C+1) temporary in HBM; this kernel computes the RBF weight
   blocks **in VMEM on the fly** and fuses the two contractions, so HBM
-  traffic is just inputs + the (B, H, W, C+1) output.
+  traffic is just inputs + the output.
 - :func:`decode_grid` — internal grid → regular target grid, i.e.
-  ``A @ f @ Bᵀ``. Fused into one kernel: per (target-tile) the H-loop
-  accumulates ``A_blk @ f_blk @ B_blkᵀ`` in a VMEM accumulator, never
-  writing the (Ht, W, C) intermediate to HBM.
+  ``A @ f @ Bᵀ``. Fused into one kernel: per target tile the source-H loop
+  accumulates ``A_blk @ f_blk @ B`` in a VMEM accumulator, never writing
+  the (Ht, W, C) intermediate to HBM.
 
-Correctness contract: bit-tolerance-equal to the pure-JAX reference
-implementations (tested in ``tests/test_setconv_pallas.py`` via interpret
-mode on CPU and compiled on TPU).
+Mosaic-friendly formulation: all contractions are strict 2-D matmuls
+(channel dimension handled by a statically-unrolled loop in channel-first
+layout) — no >2-D reshapes/transposes inside the kernel, which the TPU
+vector-layout pass rejects (``unsupported shape cast``). The wrappers do
+the cheap NHWC↔NCHW transposes in XLA.
 
-Layout rules honoured (pallas_guide.md): ≥2-D operands, lane dim 128,
-f32 accumulation via ``preferred_element_type``, static grid/block shapes.
+Correctness contract: matches the pure-JAX reference implementations
+(tested in ``tests/test_setconv_pallas.py`` via interpret mode on CPU and
+compiled on TPU).
 """
 
 from __future__ import annotations
@@ -46,11 +49,11 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _encode_kernel(x1g_ref, x2g_ref, px_ref, yaug_ref, ls_ref, out_ref):
-    """One (batch, H-tile, W-tile) program.
+    """One (batch, H-tile, W-tile) program. Channel-first output.
 
     x1g_ref: (1, TH) grid x1 block       px_ref: (1, N, 2) points (this batch)
-    x2g_ref: (1, TW) grid x2 block       yaug_ref: (1, N, C1) mask-folded values
-    ls_ref:  (1, 1) lengthscale (SMEM)   out_ref: (1, TH, TW, C1)
+    x2g_ref: (1, TW) grid x2 block       yaug_ref: (1, C1, N) mask-folded values
+    ls_ref:  (1, 1) lengthscale (SMEM)   out_ref: (1, C1, TH, TW)
     """
     ls = ls_ref[0, 0]
     inv2 = 0.5 / (ls * ls)
@@ -58,18 +61,14 @@ def _encode_kernel(x1g_ref, x2g_ref, px_ref, yaug_ref, ls_ref, out_ref):
     px2 = px_ref[0, :, 1]                      # (N,)
     g1 = x1g_ref[0, :]                         # (TH,)
     g2 = x2g_ref[0, :]                         # (TW,)
-    # w1: (TH, N); w2: (N, TW) — VPU exponentials on VMEM blocks
     d1 = g1[:, None] - px1[None, :]
-    w1 = jnp.exp(-inv2 * d1 * d1)
+    w1 = jnp.exp(-inv2 * d1 * d1)              # (TH, N)
     d2 = px2[:, None] - g2[None, :]
-    w2 = jnp.exp(-inv2 * d2 * d2)
-    yaug = yaug_ref[0]                         # (N, C1)
-    n, c1 = yaug.shape
-    tw = w2.shape[1]
-    # t[n, w, c] = w2[n, w] * yaug[n, c]  → reshape to (N, TW*C1) for the MXU
-    t = (w2[:, :, None] * yaug[:, None, :]).reshape(n, tw * c1)
-    out = jnp.dot(w1, t, preferred_element_type=jnp.float32)  # (TH, TW*C1)
-    out_ref[0] = out.reshape(w1.shape[0], tw, c1)
+    w2 = jnp.exp(-inv2 * d2 * d2)              # (N, TW)
+    c1 = out_ref.shape[1]
+    for c in range(c1):  # static unroll over channels (density + values)
+        t = w2 * yaug_ref[0, c, :][:, None]    # (N, TW)
+        out_ref[0, c] = jnp.dot(w1, t, preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("th", "tw", "interpret"))
@@ -80,8 +79,8 @@ def encode_offgrid(
     y: jnp.ndarray,     # (B, N, C)
     mask: jnp.ndarray,  # (B, N)
     lengthscale,
-    th: int = 128,
-    tw: int = 128,
+    th: int = 256,
+    tw: int = 256,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused SetConv encode. Returns (B, H, W, C+1), density channel first."""
@@ -91,6 +90,7 @@ def encode_offgrid(
     tw = min(tw, W)
     m = mask.astype(jnp.float32)
     yaug = jnp.concatenate([m[..., None], y.astype(jnp.float32) * m[..., None]], -1)
+    yaug_cf = jnp.transpose(yaug, (0, 2, 1))   # (B, C1, N)
     ls = jnp.asarray(lengthscale, jnp.float32).reshape(1, 1)
     x1g2 = x1g.astype(jnp.float32).reshape(1, H)
     x2g2 = x2g.astype(jnp.float32).reshape(1, W)
@@ -98,21 +98,22 @@ def encode_offgrid(
     grid = (B, _cdiv(H, th), _cdiv(W, tw))
     out = pl.pallas_call(
         _encode_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, H, W, C + 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, C + 1, H, W), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, th), lambda b, i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tw), lambda b, i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N, 2), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, C + 1), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C + 1, N), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, tw, C + 1), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM
+            (1, C + 1, th, tw), lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(x1g2, x2g2, x.astype(jnp.float32), yaug, ls)
+    )(x1g2, x2g2, x.astype(jnp.float32), yaug_cf, ls)
 
+    out = jnp.transpose(out, (0, 2, 3, 1))     # → (B, H, W, C1)
     density = out[..., :1]
     data = out[..., 1:] / (density + _DENSITY_EPS)
     return jnp.concatenate([density, data], axis=-1)
@@ -124,44 +125,38 @@ def encode_offgrid(
 
 
 def _decode_kernel(a_ref, b_ref, f_ref, out_ref, acc_ref):
-    """Program over (batch, target-H tile, source-H block).
+    """Program over (batch, target-H tile, source-H block, source-W block).
+    Channel-first. Both source dims accumulate (the contraction is additive
+    in H and W blocks).
 
-    a_ref: (TT, SH) target-x1 × source-x1 weight block
-    b_ref: (W, TU) target-x2 weights for the full target-x2 extent
-    f_ref: (1, SH, W, C) grid features for this source block
-    out_ref: (1, TT, TU, C) output block
-    acc_ref: (TT, TU, C) VMEM scratch accumulator (f32) — note pallas
-             passes refs as (inputs..., outputs..., scratch...)
+    a_ref: (TT, SH) target-x1 × source-x1 weights (this H block)
+    b_ref: (SW, TU) source-x2 × target-x2 weights (this W block)
+    f_ref: (1, C, SH, SW) grid features (this source block)
+    out_ref: (1, C, TT, TU) output block
+    acc_ref: (C, TT, TU) VMEM scratch accumulator
     """
     k = pl.program_id(2)
+    l = pl.program_id(3)
     nk = pl.num_programs(2)
+    nl = pl.num_programs(3)
 
-    @pl.when(k == 0)
+    @pl.when(jnp.logical_and(k == 0, l == 0))
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     a = a_ref[...]                 # (TT, SH)
-    f = f_ref[0]                   # (SH, W, C)
-    sh, w, c = f.shape
-    # stage 1: contract source-x1: (TT, SH) @ (SH, W*C) → (TT, W, C)
-    t = jnp.dot(a, f.reshape(sh, w * c), preferred_element_type=jnp.float32)
-    t = t.reshape(a.shape[0], w, c)
-    # stage 2: contract source-x2 with target-x2 weights: (W, TU)
-    b = b_ref[...]                 # (W, TU)
-    # (TT, W, C) × (W, TU) → (TT, TU, C): move W next to contraction
-    out = jax.lax.dot_general(
-        t, b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (TT, C, TU)? dot_general contracting t dim1 with b dim0 → (TT, C, TU)
-    out = jnp.transpose(out, (0, 2, 1))
-    acc_ref[...] += out
+    b = b_ref[...]                 # (SW, TU)
+    c_dim = acc_ref.shape[0]
+    for c in range(c_dim):         # static channel unroll: two 2-D matmuls
+        t = jnp.dot(a, f_ref[0, c], preferred_element_type=jnp.float32)  # (TT, SW)
+        acc_ref[c] += jnp.dot(t, b, preferred_element_type=jnp.float32)  # (TT, TU)
 
-    @pl.when(k == nk - 1)
+    @pl.when(jnp.logical_and(k == nk - 1, l == nl - 1))
     def _():
         out_ref[0] = acc_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("tt", "sh", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tt", "sh", "sw", "interpret"))
 def decode_grid(
     x1g: jnp.ndarray,   # (H,)
     x2g: jnp.ndarray,   # (W,)
@@ -170,8 +165,9 @@ def decode_grid(
     xt2: jnp.ndarray,   # (Wt,)
     lengthscale,
     normalize: bool = True,
-    tt: int = 128,
+    tt: int = 64,
     sh: int = 128,
+    sw: int = 128,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused gridded SetConv decode. Returns (B, Ht, Wt, C)."""
@@ -179,6 +175,7 @@ def decode_grid(
     Ht, Wt = xt1.shape[0], xt2.shape[0]
     tt = min(tt, Ht)
     sh = min(sh, H)
+    sw = min(sw, W)
     ls = jnp.asarray(lengthscale, jnp.float32)
 
     def rbf(a, b):
@@ -187,24 +184,26 @@ def decode_grid(
 
     A = rbf(xt1, x1g)      # (Ht, H)
     Bm = rbf(x2g, xt2)     # (W, Wt)
+    f_cf = jnp.transpose(f.astype(jnp.float32), (0, 3, 1, 2))  # (B, C, H, W)
 
-    grid = (B, _cdiv(Ht, tt), _cdiv(H, sh))
+    grid = (B, _cdiv(Ht, tt), _cdiv(H, sh), _cdiv(W, sw))
     out = pl.pallas_call(
         _decode_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Ht, Wt, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, C, Ht, Wt), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tt, sh), lambda b, i, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((W, Wt), lambda b, i, k: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sh, W, C), lambda b, i, k: (b, k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, sh), lambda b, i, k, l: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sw, Wt), lambda b, i, k, l: (l, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, sh, sw), lambda b, i, k, l: (b, 0, k, l), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tt, Wt, C), lambda b, i, k: (b, i, 0, 0), memory_space=pltpu.VMEM
+            (1, C, tt, Wt), lambda b, i, k, l: (b, 0, i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((tt, Wt, C), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((C, tt, Wt), jnp.float32)],
         interpret=interpret,
-    )(A, Bm, f.astype(jnp.float32))
+    )(A, Bm, f_cf)
 
+    out = jnp.transpose(out, (0, 2, 3, 1))     # → (B, Ht, Wt, C)
     if normalize:
         z = jnp.sum(A, -1)[:, None] * jnp.sum(Bm, 0)[None, :]
         out = out / (z[None, ..., None] + _DENSITY_EPS)

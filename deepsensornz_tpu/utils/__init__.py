@@ -1,0 +1,99 @@
+"""Generic helpers: CLI argument validation/coercion, metrics.
+
+Parity with ``nzdownscale/dataprocess/utils.py:217-271`` (typed YAML
+argument validation for the training CLI) and ``utils.py:30`` (rmse).
+"""
+
+from deepsensornz_tpu.data.features import rmse  # noqa: F401
+
+
+def str2bool(v):
+    """'true'/'false'/'1'/'0' → bool (``utils.py:217-227``)."""
+    if isinstance(v, bool):
+        return v
+    if str(v).lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if str(v).lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise ValueError(f"boolean value expected, got {v!r}")
+
+
+def int_or_none(v):
+    if v is None or str(v).lower() in ("none", "null", ""):
+        return None
+    return int(v)
+
+
+def float_or_none(v):
+    if v is None or str(v).lower() in ("none", "null", ""):
+        return None
+    return float(v)
+
+
+def str_or_none(v):
+    if v is None or str(v).lower() in ("none", "null", ""):
+        return None
+    return str(v)
+
+
+def bool_or_float_or_str(v):
+    """station_as_context coercion: bool / fraction / 'random' / 'split'
+    (``utils.py:239-247``)."""
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    s = str(v).lower()
+    if s in ("true", "false"):
+        return s == "true"
+    try:
+        return float(s)
+    except ValueError:
+        if s in ("random", "split", "all"):
+            return s
+    raise ValueError(f"cannot coerce {v!r} to bool/float/str")
+
+
+# per-argument coercer table for the training CLI YAML
+ARG_SCHEMA = {
+    "variable": str,
+    "base": str,
+    "model_name": str_or_none,
+    "area": str_or_none,
+    "train_start_year": int_or_none,
+    "train_end_year": int_or_none,
+    "val_start_year": int_or_none,
+    "val_end_year": int_or_none,
+    "year_step": int_or_none,
+    "era5_coarsen_factor": int_or_none,
+    "highres_coarsen_factor": int_or_none,
+    "lowres_coarsen_factor": int_or_none,
+    "include_landmask": str2bool,
+    "include_time_of_year": str2bool,
+    "include_coordinates": str2bool,
+    "station_as_context": bool_or_float_or_str,
+    "batch_size": int_or_none,
+    "lr": float_or_none,
+    "weight_decay": float_or_none,
+    "n_epochs": int_or_none,
+    "unet_channels": lambda v: tuple(int(x) for x in v) if v else None,
+    "likelihood": str_or_none,
+    "internal_density": int_or_none,
+    "auto_set_internal_density": str2bool,
+    "pretrained_model": str_or_none,
+    "remove_stations": lambda v: list(v) if v else [],
+    "synthetic": str2bool,
+}
+
+
+def validate_and_convert_args(args: dict) -> dict:
+    """Coerce + validate a YAML argument dict (``utils.py:249-271``).
+
+    Unknown keys raise (typo guard); missing keys pass through as absent.
+    """
+    out = {}
+    for k, v in args.items():
+        if k not in ARG_SCHEMA:
+            raise KeyError(f"unknown argument {k!r}; known: {sorted(ARG_SCHEMA)}")
+        out[k] = ARG_SCHEMA[k](v)
+    return out

@@ -1,0 +1,128 @@
+"""Training CLI smoke (synthetic mode), arg validation, writer, plots."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from deepsensornz_tpu.utils import (
+    bool_or_float_or_str,
+    int_or_none,
+    str2bool,
+    validate_and_convert_args,
+)
+
+
+def test_arg_coercers():
+    assert str2bool("True") is True and str2bool("0") is False
+    assert int_or_none("None") is None and int_or_none("5") == 5
+    assert bool_or_float_or_str("0.5") == 0.5
+    assert bool_or_float_or_str("random") == "random"
+    assert bool_or_float_or_str(True) is True
+
+
+def test_validate_args_rejects_unknown():
+    with pytest.raises(KeyError):
+        validate_and_convert_args({"not_a_real_arg": 1})
+
+
+def test_validate_args_coerces():
+    out = validate_and_convert_args({
+        "variable": "temperature", "n_epochs": "3",
+        "station_as_context": "0.3", "unet_channels": [8, 8],
+        "include_landmask": "true",
+    })
+    assert out["n_epochs"] == 3
+    assert out["station_as_context"] == 0.3
+    assert out["unet_channels"] == (8, 8)
+    assert out["include_landmask"] is True
+
+
+def test_train_cli_synthetic(tmp_path, monkeypatch):
+    """Full training CLI run in synthetic mode produces loadable artifacts."""
+    from deepsensornz_tpu.cli.train_downscaling import main
+
+    args = {
+        "variable": "temperature",
+        "model_name": "cli_smoke",
+        "synthetic": True,
+        "n_epochs": 1,
+        "batch_size": 4,
+        "lr": 0.001,
+        "unet_channels": [8, 8],
+        "likelihood": "cnp",
+        "internal_density": 24,
+        "highres_coarsen_factor": 2,
+        "lowres_coarsen_factor": 4,
+        "include_time_of_year": True,
+    }
+    arg_path = tmp_path / "args.yaml"
+    with open(arg_path, "w") as f:
+        yaml.safe_dump(args, f)
+    monkeypatch.chdir(tmp_path)
+    model_dir = main(["-arg_path", str(arg_path)])
+    for fname in ("params.msgpack", "metadata.json", "task_loader.pkl",
+                  "data_processor.json", "args.yaml"):
+        assert os.path.exists(os.path.join(model_dir, fname)), fname
+    with open(os.path.join(model_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["data_settings"]["variable"] == "temperature"
+
+    # reconstruction must work on CLI artifacts too
+    from deepsensornz_tpu.pipeline.validate import load_run
+
+    run = load_run(model_dir)
+    assert run["variable"] == "temperature"
+
+
+def test_prediction_writer(tmp_path):
+    from deepsensornz_tpu.data.grid import Dataset, Field, open_dataset
+    from deepsensornz_tpu.infer.writer import save_prediction
+
+    lat = np.linspace(-34, -47, 8)
+    lon = np.linspace(166, 178, 9)
+    t = np.datetime64("2020-01-01", "s") + np.arange(3) * np.timedelta64(1, "h")
+    mean = Field(np.random.default_rng(0).random((3, 8, 9)),
+                 ("time", "latitude", "longitude"),
+                 {"time": t, "latitude": lat, "longitude": lon}, "mean")
+    std = mean.copy().rename("std")
+    pred = Dataset({"mean": mean, "std": std})
+    path = str(tmp_path / "out" / "pred.nc")
+    save_prediction(pred, path, "temperature", "m1", mean_only=True)
+    back = open_dataset(path)
+    assert "mean" in back and "std" not in back
+    assert back.attrs["variable"] == "temperature"
+    assert back.attrs["institution"]
+    assert "created" in back.attrs
+
+
+def test_plots_render(tmp_path):
+    import matplotlib
+
+    from deepsensornz_tpu.data.grid import Dataset, Field
+    from deepsensornz_tpu.plot import (
+        make_loss_plot,
+        plot_errors_at_stations,
+        plot_field,
+        plot_prediction,
+        plot_timeseries_comparison,
+    )
+
+    lat = np.linspace(-34, -47, 10)
+    lon = np.linspace(166, 178, 12)
+    t = np.array([np.datetime64("2020-01-01")])
+    data = np.random.default_rng(0).random((1, 10, 12))
+    mean = Field(data, ("time", "latitude", "longitude"),
+                 {"time": t, "latitude": lat, "longitude": lon}, "mean")
+    pred = Dataset({"mean": mean, "std": mean.copy().rename("std")})
+    fig = plot_prediction(pred)
+    fig.savefig(tmp_path / "pred.png")
+    fig2 = plot_timeseries_comparison(
+        np.arange(5), np.zeros(5), np.ones(5), obs=np.zeros(5), base=np.ones(5)
+    )
+    fig3 = plot_errors_at_stations(lat[:5], lon[:5], np.linspace(-1, 1, 5))
+    fig4 = make_loss_plot([3, 2, 1], [3.1, 2.2, 1.5], str(tmp_path / "loss.png"))
+    assert (tmp_path / "loss.png").exists()
+    matplotlib.pyplot.close("all")
