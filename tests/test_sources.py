@@ -1,0 +1,186 @@
+"""Data sources against on-disk fixture archives (ERA5 / stations / WRF / DEM)."""
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from deepsensornz_tpu.data.grid import Dataset, Field, save_dataset
+from deepsensornz_tpu.data.sources.era5 import ERA5Source, concat_time, daily_resample
+from deepsensornz_tpu.data.sources.stations import StationSource, save_station_file
+from deepsensornz_tpu.data.sources.topography import TopographySource
+from deepsensornz_tpu.data.sources.wrf import WRFSource
+
+
+@pytest.fixture(scope="module")
+def era5_archive(tmp_path_factory):
+    root = tmp_path_factory.mktemp("era5")
+    os.makedirs(root / "temperature")
+    lat = np.linspace(-34, -47, 6)
+    lon = np.linspace(166, 178, 7)
+    for year in (2000, 2001):
+        t = np.datetime64(f"{year}-01-01", "s") + np.arange(48) * np.timedelta64(1, "h")
+        data = np.random.default_rng(year).random((48, 6, 7))
+        f = Field(data, ("time", "latitude", "longitude"),
+                  {"time": t, "latitude": lat, "longitude": lon}, "t2m")
+        save_dataset(Dataset([f]), str(root / "temperature" / f"t2m_{year}.nc"),
+                     float32=False)
+    return str(root)
+
+
+def test_era5_load_years(era5_archive):
+    src = ERA5Source(era5_archive)
+    f = src.load("temperature", [2000, 2001])
+    assert f.sizes()["time"] == 96
+    t = f.coords["time"].astype("datetime64[s]")
+    assert (np.diff(t) > np.timedelta64(0, "s")).all()  # sorted, deduped
+
+
+def test_era5_load_time(era5_archive):
+    src = ERA5Source(era5_archive)
+    want = np.datetime64("2000-01-01T05:00:00", "s") + np.arange(3) * np.timedelta64(1, "h")
+    f = src.load_time("temperature", want)
+    assert f.sizes()["time"] == 3
+    np.testing.assert_array_equal(f.coords["time"].astype("datetime64[s]"), want)
+
+
+def test_daily_resample_mean_and_sum():
+    t = np.datetime64("2000-01-01", "s") + np.arange(48) * np.timedelta64(1, "h")
+    data = np.ones((48, 2, 2))
+    f = Field(data, ("time", "latitude", "longitude"),
+              {"time": t, "latitude": np.arange(2.0), "longitude": np.arange(2.0)}, "tp")
+    m = daily_resample(f, "mean")
+    s = daily_resample(f, "sum")
+    assert m.sizes()["time"] == 2
+    np.testing.assert_allclose(m.data, 1.0)
+    np.testing.assert_allclose(s.data, 24.0)
+
+
+def test_era5_missing_raises(era5_archive):
+    with pytest.raises(FileNotFoundError):
+        ERA5Source(era5_archive).load("humidity", [2000])
+
+
+@pytest.fixture(scope="module")
+def station_archive(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stations")
+    t = np.datetime64("2000-01-01", "s") + np.arange(96) * np.timedelta64(1, "h")
+    rng = np.random.default_rng(0)
+    for i, (name, lat, lon, elev) in enumerate([
+        ("alpha", -36.8, 174.7, 30.0),
+        ("bravo", -41.3, 174.8, 10.0),
+        ("charlie", -43.5, 172.6, 50.0),
+    ]):
+        save_station_file(
+            str(root / f"{name}.nc"), name, lat, lon, elev, t,
+            {"dry_bulb": 15 + rng.standard_normal(96),
+             "precipitation": np.abs(rng.standard_normal(96))},
+        )
+    # corrupt file must be skipped silently in the metadata scan
+    with open(root / "corrupt.nc", "wb") as f:
+        f.write(b"not an hdf5 file")
+    return str(root)
+
+
+def test_station_metadata_scan(station_archive):
+    src = StationSource(station_archive)
+    meta = src.get_metadata()
+    assert len(meta) == 3  # corrupt file skipped
+    assert set(meta["station_name"]) == {"alpha", "bravo", "charlie"}
+    assert meta["start_year"].eq(2000).all()
+
+
+def test_station_registry_build(station_archive, tmp_path):
+    src = StationSource(station_archive)
+    reg = src.build_registry(str(tmp_path / "registry.json"))
+    assert reg["alpha"]["latitude"] == pytest.approx(-36.8)
+    assert (tmp_path / "registry.json").exists()
+
+
+def test_load_stations_time_with_holdout(station_archive):
+    src = StationSource(station_archive)
+    times = np.datetime64("2000-01-02", "s") + np.arange(4) * np.timedelta64(1, "h")
+    df = src.load_stations_time("temperature", times, remove_stations=["bravo"])
+    assert set(df["station_name"]) == {"alpha", "charlie"}
+    assert len(df) == 8
+    assert "dry_bulb_station" in df.columns
+    kept = src.load_stations_time("temperature", times, keep_stations=["alpha"])
+    assert set(kept["station_name"]) == {"alpha"}
+
+
+def test_load_station_daily_resample(station_archive):
+    src = StationSource(station_archive)
+    files = src.station_files()
+    df = src.load_station([f for f in files if "alpha" in f][0],
+                          "temperature", daily=True)
+    assert len(df) == 4  # 96 hourly → 4 days
+
+
+def test_topography_source(tmp_path):
+    lat = np.linspace(-34, -47, 20)
+    lon = np.linspace(166, 178, 24)
+    dem = Field(np.random.default_rng(0).random((20, 24)) * 1000,
+                ("latitude", "longitude"), {"latitude": lat, "longitude": lon},
+                "elevation")
+    path = str(tmp_path / "dem.nc")
+    save_dataset(Dataset([dem]), path, float32=False)
+    src = TopographySource(path)
+    full = src.load()
+    assert full.shape == (20, 24)
+    cropped = src.load(area="christchurch")
+    assert cropped.sizes()["latitude"] < 20
+    coarse = src.load(coarsen=2)
+    assert coarse.shape == (10, 12)
+
+
+@pytest.fixture(scope="module")
+def wrf_archive(tmp_path_factory):
+    root = tmp_path_factory.mktemp("wrf")
+    src = WRFSource(str(root))
+    init = datetime(2021, 6, 1)
+    # curvilinear grid (rotated-ish)
+    ny, nx = 12, 14
+    base_lat = np.linspace(-47, -34, ny)[:, None] + np.linspace(0, 0.5, nx)[None, :]
+    base_lon = np.linspace(166, 178, nx)[None, :] + np.linspace(0, 0.3, ny)[:, None]
+    rng = np.random.default_rng(1)
+    for valid in src.cycle_hours(init):
+        path = src.filename_for(init, valid)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fields = {
+            "T2": Field(280 + rng.standard_normal((ny, nx)), ("y", "x"), {}, "T2"),
+            "XLAT": Field(base_lat, ("y", "x"), {}, "XLAT"),
+            "XLONG": Field(base_lon, ("y", "x"), {}, "XLONG"),
+        }
+        save_dataset(Dataset(fields), path, float32=False)
+    return str(root), init
+
+
+def test_wrf_cycle_discovery(wrf_archive):
+    root, init = wrf_archive
+    src = WRFSource(root)
+    paths = src.get_filepaths(init)
+    assert len(paths) == 24  # hours 6..30: spin-up skipped
+    t0 = src.parse_valid_time(paths[0])
+    assert t0 == np.datetime64("2021-06-01T06:00:00")
+
+
+def test_wrf_load_and_regrid(wrf_archive):
+    root, init = wrf_archive
+    src = WRFSource(root)
+    paths = src.get_filepaths(init)[:4]
+    out = src.load(paths, ["temperature"])
+    fld = out["temperature"]
+    assert fld.shape[0] == 4
+    target_lat = np.linspace(-46, -35, 10)
+    target_lon = np.linspace(167, 177, 11)
+    g = src.regrid_to(fld, target_lat, target_lon)
+    assert g.shape == (4, 10, 11)
+    inside = np.isfinite(g.data)
+    assert inside.mean() > 0.5
+    # values preserved within range
+    assert np.nanmin(g.data) > 270 and np.nanmax(g.data) < 290
+    # triangulation cache reused
+    assert len(src._regrid_cache) == 1
+    src.regrid_to(fld, target_lat, target_lon)
+    assert len(src._regrid_cache) == 1
