@@ -63,6 +63,9 @@ class ConvNPConfig:
     # encoded grid is constrained to P(batch, spatial) so XLA partitions the
     # U-Net spatially with automatic halo exchange over ICI.
     mesh_axes: Optional[tuple] = None
+    # Use the fused Pallas TPU kernels for the point-set encode and the
+    # gridded decode (ops/setconv_pallas.py) instead of the XLA einsum path.
+    use_pallas: bool = False
 
     def make_likelihood(self) -> Likelihood:
         kw = {"rank": self.rank} if self.likelihood in ("gnp", "lowrank") else {}
@@ -104,7 +107,15 @@ class ConvNP(nn.Module):
             enc.append(setconv_encode_grid(task.x1g, task.x2g, g.x1, g.x2, g.y, ls, g.mask))
         for i, p in enumerate(task.points):
             ls = self._lengthscale(f"ls_points_{i}")
-            enc.append(setconv_encode_offgrid(task.x1g, task.x2g, p.x, p.y, p.mask, ls))
+            if cfg.use_pallas:
+                from deepsensornz_tpu.ops.setconv_pallas import (
+                    setconv_encode_offgrid_best,
+                )
+
+                enc.append(setconv_encode_offgrid_best(
+                    task.x1g, task.x2g, p.x, p.y, p.mask, ls))
+            else:
+                enc.append(setconv_encode_offgrid(task.x1g, task.x2g, p.x, p.y, p.mask, ls))
         h = jnp.concatenate(enc, axis=-1)
         h = _maybe_shard_grid(h, cfg)
 
@@ -125,7 +136,14 @@ class ConvNP(nn.Module):
             aux = task.yt_aux
         else:
             xt1, xt2, aux = target_grid
-            dec = setconv_decode_grid(task.x1g, task.x2g, f, xt1, xt2, ls_dec)
+            if cfg.use_pallas:
+                from deepsensornz_tpu.ops.setconv_pallas import (
+                    setconv_decode_grid_best,
+                )
+
+                dec = setconv_decode_grid_best(task.x1g, task.x2g, f, xt1, xt2, ls_dec)
+            else:
+                dec = setconv_decode_grid(task.x1g, task.x2g, f, xt1, xt2, ls_dec)
 
         if aux is not None:
             dec = jnp.concatenate([dec, aux.astype(jnp.float32)], axis=-1)

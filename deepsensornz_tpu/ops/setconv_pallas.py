@@ -165,7 +165,7 @@ def decode_grid(
     xt2: jnp.ndarray,   # (Wt,)
     lengthscale,
     normalize: bool = True,
-    tt: int = 64,
+    tt: int = 16,
     sh: int = 128,
     sw: int = 128,
     interpret: bool = False,

@@ -237,6 +237,20 @@ class PreprocessForDownscaling:
         st_n = dp(self.station_df, method=method, assert_computed=apply_only) \
             if self.station_df is not None else None
 
+        # humidity: shift min_max output [-1,1] → [0,1] so the spikes-beta
+        # head sees a unit-interval variable (preprocess.py:209-211)
+        if self.variable == "humidity":
+            from deepsensornz_tpu.data.features import shift_humidity_to_unit_interval
+
+            short = cfg.VAR_ERA5[self.variable]["var_name"]
+            if short in base_n:
+                f = base_n[short]
+                base_n[short] = f.copy(shift_humidity_to_unit_interval(f.data))
+            if st_n is not None:
+                for col in st_n.columns:
+                    if col.endswith("_station"):
+                        st_n[col] = shift_humidity_to_unit_interval(st_n[col].to_numpy())
+
         if test_norm:
             self.test_normalisation(dp, base_n, st_n)
 
@@ -251,12 +265,25 @@ class PreprocessForDownscaling:
     def test_normalisation(self, dp, base_n, st_n) -> None:
         """Round-trip raw == unnormalise(normalise(raw)) within 1e-3
         (``preprocess.py:903-913``)."""
+        from deepsensornz_tpu.data.features import shift_humidity_from_unit_interval
+
+        shifted = (
+            cfg.VAR_ERA5[self.variable]["var_name"]
+            if self.variable == "humidity" else None
+        )
         for k, f in base_n.items():
+            if k == shifted:
+                f = f.copy(shift_humidity_from_unit_interval(f.data))
             back = dp.unnormalise(f)
             raw = self._raw["base"][k]
             if not np.allclose(back.data, raw.data, atol=1e-3, equal_nan=True):
                 raise AssertionError(f"normalisation round-trip failed for {k}")
         if st_n is not None:
+            if self.variable == "humidity":
+                st_n = st_n.copy()
+                for col in st_n.columns:
+                    if col.endswith("_station"):
+                        st_n[col] = shift_humidity_from_unit_interval(st_n[col].to_numpy())
             back = dp.unnormalise(st_n)
             for col in back.columns:
                 if col.endswith("_station"):

@@ -94,6 +94,20 @@ def _first_time(task_loader):
     raise ValueError("no time coordinate found in task loader data")
 
 
+def humidity_post_transform(mean, std):
+    """[0,1] model space → [-1,1] min_max space before unnormalisation
+    (inverse of the preprocess shift, ``preprocess.py:233-235``)."""
+    from deepsensornz_tpu.data.features import shift_humidity_from_unit_interval
+
+    mean = shift_humidity_from_unit_interval(mean)
+    std = None if std is None else np.asarray(std) * 2.0
+    return mean, std
+
+
+def post_transform_for(variable: str):
+    return humidity_post_transform if variable == "humidity" else None
+
+
 def remove_stations_from_frame(df, station_names: Sequence[str]):
     """Holdout filter (``validate.py:1120-1142``); matches by name when
     available, else by (lat, lon) pairs."""
@@ -139,7 +153,9 @@ class Validate:
             task = tl(list(dates), seed_override=seed_override)
         finally:
             tl.context = saved_context
-        out = self.predictor.predict_points(task)
+        out = self.predictor.predict_points(
+            task, post_transform=post_transform_for(self.run["variable"])
+        )
         out["xt"] = np.asarray(task.xt)
         out["yt"] = np.asarray(task.yt)
         return out
@@ -154,6 +170,8 @@ class Validate:
         p = scale_offset["params"]
         m = scale_offset["method"]
         yt = pred["yt"][..., 0]
+        if self.run["variable"] == "humidity":
+            yt = yt * 2.0 - 1.0  # undo the unit-interval shift first
         if m == "mean_std":
             obs = yt * p["std"] + p["mean"]
         elif m == "positive_semidefinite":
@@ -244,9 +262,13 @@ class ValidateERA:
         for entry in tl.context:
             if hasattr(entry, "columns"):  # station context
                 if station_df is None:
-                    raise ValueError("model uses station context; pass station_df")
-                sdf = remove_stations_from_frame(station_df, remove_stations)
-                new_context.append(dp(sdf, assert_computed=True))
+                    # no stations available (e.g. real-time forecast mode):
+                    # run with an empty station context — parity with
+                    # context_sampling=[...,0] (validation_precip notebook)
+                    new_context.append(entry.iloc[0:0])
+                else:
+                    sdf = remove_stations_from_frame(station_df, remove_stations)
+                    new_context.append(dp(sdf, assert_computed=True))
             else:
                 fields = dict(entry.items()) if hasattr(entry, "items") else {entry.name: entry}
                 updated = dict(fields)
@@ -299,6 +321,7 @@ class ValidateERA:
         return self.predictor.predict_grid(
             task, self.pred_grid, aux_at_targets=tl.aux_at_targets,
             times=np.asarray(times), n_samples=n_samples,
+            post_transform=post_transform_for(var),
         )
 
 
