@@ -101,6 +101,7 @@ class Predictor:
         sea_mask: bool = True,
         unnormalise: bool = True,
         post_transform=None,
+        resolution_factor: float = 1.0,
     ) -> Prediction:
         """Predict on the grid of ``target_elev`` (a DEM Field in RAW
         latitude/longitude coords, used as grid spec + sea mask; NaNs = sea).
@@ -113,6 +114,16 @@ class Predictor:
         """
         lat = target_elev.coords[target_elev.dims[-2]]
         lon = target_elev.coords[target_elev.dims[-1]]
+        if resolution_factor != 1.0:
+            # densify/thin the prediction grid relative to the DEM grid
+            # (``resolution_factor`` parity, e.g. nz_downscaling.py:425)
+            n_lat = max(int(round(len(lat) * resolution_factor)), 2)
+            n_lon = max(int(round(len(lon) * resolution_factor)), 2)
+            lat = np.linspace(float(lat[0]), float(lat[-1]), n_lat)
+            lon = np.linspace(float(lon[0]), float(lon[-1]), n_lon)
+            target_elev = target_elev._interp_one(
+                target_elev.dims[-2], lat, "nearest"
+            )._interp_one(target_elev.dims[-1], lon, "nearest")
         xt1 = jnp.asarray(self.dp.map_x1(lat), jnp.float32)
         xt2 = jnp.asarray(self.dp.map_x2(lon), jnp.float32)
 

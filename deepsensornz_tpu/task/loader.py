@@ -96,9 +96,11 @@ class TaskLoader:
         context: Sequence,
         target,
         aux_at_targets: Optional[Dataset | Field] = None,
+        aux_at_contexts: Optional[Dataset | Field] = None,
         context_sampling="all",
         target_sampling="all",
         links: Optional[Sequence[tuple[int, int]]] = None,
+        delta_t: Optional[Sequence[int]] = None,
         internal_density: float = 500.0,
         grid_margin: float = 0.1,
         grid_multiple: int = 16,
@@ -106,9 +108,18 @@ class TaskLoader:
         target_capacity: Optional[int] = None,
         split_frac: float = 0.5,
     ):
+        """``delta_t``: per-context-set time lag in days — context set i is
+        sliced at ``date + delta_t[i]`` (engine TaskLoader ``delta_t``
+        parity). ``aux_at_contexts``: gridded aux channels gathered at every
+        off-grid context point and appended to its values (engine parity;
+        gather at ``train.py:614-625``)."""
         self.context = list(context)
         self.target = target
         self.aux_at_targets = aux_at_targets
+        self.aux_at_contexts = aux_at_contexts
+        self.delta_t = list(delta_t) if delta_t is not None else [0] * len(self.context)
+        if len(self.delta_t) != len(self.context):
+            raise ValueError("delta_t must have one entry per context set")
         if isinstance(context_sampling, (str, float, int)):
             context_sampling = [context_sampling] * len(self.context)
         self.context_sampling = list(context_sampling)
@@ -217,7 +228,8 @@ class TaskLoader:
             for ci, entry in enumerate(self.context):
                 if not _is_frame(entry):
                     continue
-                rows = self._rows_at(entry, date)
+                date_eff = np.datetime64(date) + np.timedelta64(self.delta_t[ci], "D")
+                rows = self._rows_at(entry, date_eff)
                 strat = sampling[ci]
                 if ci in linked_ctx or strat == "split":
                     n_ctx = max(int(round(self.split_frac * len(rows))), 1)
@@ -242,6 +254,15 @@ class TaskLoader:
                 cols = self.context_var_IDs[ci]
                 x = rows[["x1", "x2"]].to_numpy(np.float32)
                 y = rows[cols].to_numpy(np.float32)
+                if self.aux_at_contexts is not None:
+                    aux_cols = [
+                        interp_grid_at_points(f, x[:, 0], x[:, 1])
+                        for f in _grid_channels(self.aux_at_contexts)
+                    ]
+                    if aux_cols:
+                        y = np.concatenate(
+                            [y, np.stack(aux_cols, -1).astype(np.float32)], axis=-1
+                        )
                 xp, yp, m = pad_points(x, y, self.point_capacity)
                 pts_x.setdefault(ci, []).append(xp)
                 pts_y.setdefault(ci, []).append(yp)
@@ -253,8 +274,9 @@ class TaskLoader:
                     continue
                 chans = []
                 spec = None
+                date_eff = np.datetime64(date) + np.timedelta64(self.delta_t[ci], "D")
                 for f in _grid_channels(entry):
-                    sl = f.sel(time=np.datetime64(date), method="nearest") if "time" in f.dims else f
+                    sl = f.sel(time=date_eff, method="nearest") if "time" in f.dims else f
                     chans.append(np.nan_to_num(sl.data.astype(np.float32)))
                     spec = (sl.coords[sl.dims[-2]].astype(np.float32),
                             sl.coords[sl.dims[-1]].astype(np.float32))
@@ -321,7 +343,14 @@ class TaskLoader:
     # -- dims used by ConvNP construction ------------------------------------------
 
     def context_dims(self) -> list[int]:
-        return [len(ids) for ids in self.context_var_IDs]
+        n_aux_c = (
+            len(_grid_channels(self.aux_at_contexts))
+            if self.aux_at_contexts is not None else 0
+        )
+        return [
+            len(ids) + (n_aux_c if _is_frame(self.context[i]) else 0)
+            for i, ids in enumerate(self.context_var_IDs)
+        ]
 
     def target_dim(self) -> int:
         return len(self.target_var_IDs)

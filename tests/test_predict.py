@@ -98,3 +98,11 @@ def test_point_prediction(setting):
     obs = stations[st_col]
     assert out["mean"][m].min() > obs.min() - 50
     assert out["mean"][m].max() < obs.max() + 50
+
+
+def test_resolution_factor(setting):
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    out = pred.predict_grid(task, dem, aux_at_targets=dem_n, resolution_factor=0.5)
+    assert out["mean"].shape == (2, 24, 24)
+    out2 = pred.predict_grid(task, dem, aux_at_targets=dem_n, resolution_factor=2.0)
+    assert out2["mean"].shape == (2, 96, 96)

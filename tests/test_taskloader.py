@@ -130,3 +130,50 @@ def test_pickle_roundtrip(pipeline, tmp_path):
     t1 = tl(times[0])
     t2 = tl2(times[0])
     np.testing.assert_array_equal(np.asarray(t1.xt), np.asarray(t2.xt))
+
+
+def test_delta_t_time_lag(pipeline):
+    """delta_t shifts which time slice feeds each context set."""
+    dp, base_n, dem_n, st_n, base = pipeline
+    times = base.coords["time"]
+    tl_lag = TaskLoader(
+        context=[base_n, st_n], target=st_n, aux_at_targets=dem_n,
+        internal_density=32, grid_multiple=16, delta_t=[-1, 0],
+    )
+    tl_now = TaskLoader(
+        context=[base_n, st_n], target=st_n, aux_at_targets=dem_n,
+        internal_density=32, grid_multiple=16,
+    )
+    lagged = tl_lag(times[2])
+    plain = tl_now(times[2])
+    want_prev = tl_now(times[1])
+    np.testing.assert_array_equal(
+        np.asarray(lagged.grids[0].y), np.asarray(want_prev.grids[0].y)
+    )
+    assert not np.array_equal(
+        np.asarray(lagged.grids[0].y), np.asarray(plain.grids[0].y)
+    )
+    # targets still at the requested date
+    np.testing.assert_array_equal(np.asarray(lagged.xt), np.asarray(plain.xt))
+
+
+def test_aux_at_contexts_appends_channels(pipeline):
+    dp, base_n, dem_n, st_n, base = pipeline
+    times = base.coords["time"]
+    tl_aux = TaskLoader(
+        context=[base_n, st_n], target=st_n, aux_at_targets=dem_n,
+        aux_at_contexts=dem_n,
+        internal_density=32, grid_multiple=16,
+    )
+    tl_plain = TaskLoader(
+        context=[base_n, st_n], target=st_n, aux_at_targets=dem_n,
+        internal_density=32, grid_multiple=16,
+    )
+    a = tl_aux(times[0])
+    b = tl_plain(times[0])
+    assert a.points[0].y.shape[-1] == b.points[0].y.shape[-1] + 1
+    assert tl_aux.context_dims()[1] == tl_plain.context_dims()[1] + 1
+    # aux channel values are in the normalised elevation range
+    m = np.asarray(a.points[0].mask)[0].astype(bool)
+    aux_vals = np.asarray(a.points[0].y)[0][m, -1]
+    assert aux_vals.min() >= -1.01 and aux_vals.max() <= 1.01
