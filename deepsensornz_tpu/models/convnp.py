@@ -66,6 +66,11 @@ class ConvNPConfig:
     # Use the fused Pallas TPU kernels for the point-set encode and the
     # gridded decode (ops/setconv_pallas.py) instead of the XLA einsum path.
     use_pallas: bool = False
+    # Rematerialise the U-Net in the backward pass (jax.checkpoint): trades
+    # FLOPs for HBM — enables full internal_density=500 grids at batch
+    # sizes that would otherwise OOM (the reference coarsened its inputs
+    # instead, preprocess.py:497-498).
+    remat: bool = False
 
     def make_likelihood(self) -> Likelihood:
         kw = {"rank": self.rank} if self.likelihood in ("gnp", "lowrank") else {}
@@ -120,7 +125,8 @@ class ConvNP(nn.Module):
         h = _maybe_shard_grid(h, cfg)
 
         # ---- U-Net over the internal grid ----------------------------------
-        f = UNet(
+        unet_cls = nn.remat(UNet) if cfg.remat else UNet
+        f = unet_cls(
             channels=tuple(cfg.unet_channels),
             out_channels=cfg.decoder_channels,
             kernel_size=cfg.kernel_size,

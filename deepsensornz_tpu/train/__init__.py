@@ -4,6 +4,7 @@ from deepsensornz_tpu.train.trainer import (  # noqa: F401
     Trainer,
     TrainState,
     make_train_step,
+    train_epoch,
     make_eval_step,
     PlateauScheduler,
     EarlyStopping,

@@ -109,6 +109,28 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def train_epoch(model, state: TrainState, tasks: TaskBatch, batch_size: int = 8,
+                lr: float = 5e-5, shuffle: bool = True,
+                step_fn: Optional[Callable] = None,
+                rng: Optional[np.random.Generator] = None):
+    """One epoch over a materialised TaskBatch; returns (state, losses).
+
+    Engine parity with ``deepsensor.train.train_epoch(model, tasks,
+    batch_size=, opt=)`` (call site ``train.py:388-394``): shuffles, steps
+    per batch, returns the per-batch loss list.
+    """
+    step_fn = step_fn or make_train_step(model)
+    rng = rng or np.random.default_rng(0)
+    n = tasks.batch_size
+    idx = rng.permutation(n) if shuffle else np.arange(n)
+    losses = []
+    for s in range(0, n - batch_size + 1, batch_size):
+        batch = take(tasks, idx[s: s + batch_size])
+        state, loss = step_fn(state, batch, lr)
+        losses.append(float(loss))
+    return state, losses
+
+
 def make_eval_step(model) -> Callable:
     """Jitted validation loss (``model.loss_fn(task, normalise=True)``)."""
 
