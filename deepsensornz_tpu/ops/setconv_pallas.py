@@ -124,36 +124,31 @@ def encode_offgrid(
 # ---------------------------------------------------------------------------
 
 
-def _decode_kernel(a_ref, b_ref, f_ref, out_ref, acc_ref):
+def _decode_kernel(a_ref, b_ref, f_ref, out_ref):
     """Program over (batch, target-H tile, source-H block, source-W block).
     Channel-first. Both source dims accumulate (the contraction is additive
-    in H and W blocks).
+    in H and W blocks); the output block acts as the accumulator — it stays
+    resident in VMEM across the (k, l) revisits (same output index) and is
+    written back to HBM once, on the last visit.
 
     a_ref: (TT, SH) target-x1 × source-x1 weights (this H block)
     b_ref: (SW, TU) source-x2 × target-x2 weights (this W block)
     f_ref: (1, C, SH, SW) grid features (this source block)
-    out_ref: (1, C, TT, TU) output block
-    acc_ref: (C, TT, TU) VMEM scratch accumulator
+    out_ref: (1, C, TT, TU) output block / accumulator
     """
     k = pl.program_id(2)
     l = pl.program_id(3)
-    nk = pl.num_programs(2)
-    nl = pl.num_programs(3)
 
     @pl.when(jnp.logical_and(k == 0, l == 0))
     def _():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     a = a_ref[...]                 # (TT, SH)
     b = b_ref[...]                 # (SW, TU)
-    c_dim = acc_ref.shape[0]
+    c_dim = out_ref.shape[1]
     for c in range(c_dim):         # static channel unroll: two 2-D matmuls
         t = jnp.dot(a, f_ref[0, c], preferred_element_type=jnp.float32)  # (TT, SW)
-        acc_ref[c] += jnp.dot(t, b, preferred_element_type=jnp.float32)  # (TT, TU)
-
-    @pl.when(jnp.logical_and(k == nk - 1, l == nl - 1))
-    def _():
-        out_ref[0] = acc_ref[...]
+        out_ref[0, c] += jnp.dot(t, b, preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("tt", "sh", "sw", "interpret"))
@@ -199,7 +194,6 @@ def decode_grid(
         out_specs=pl.BlockSpec(
             (1, C, tt, Wt), lambda b, i, k, l: (b, 0, i, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[pltpu.VMEM((C, tt, Wt), jnp.float32)],
         interpret=interpret,
     )(A, Bm, f_cf)
 

@@ -143,6 +143,7 @@ class TaskLoader:
             self.point_capacity = point_capacity
         if target_capacity is not None:
             self.target_capacity = target_capacity
+        self._flat_cache: dict = {}
 
     # -- static geometry -------------------------------------------------------
 
@@ -209,6 +210,10 @@ class TaskLoader:
             if isinstance(context_sampling, (str, float, int)) else list(context_sampling)
         )
         tgt_sampling = self.target_sampling if target_sampling is None else target_sampling
+
+        fast = self._fast_call(date_list, sampling, tgt_sampling)
+        if fast is not None:
+            return fast
 
         grids: list[list[np.ndarray]] = [[] for _ in self.context]
         grid_specs: list[tuple] = [None] * len(self.context)
@@ -332,6 +337,130 @@ class TaskLoader:
             yt_aux=jnp.asarray(np.stack(aux_l)) if aux_l else None,
             x1g=jnp.asarray(self.x1g),
             x2g=jnp.asarray(self.x2g),
+        )
+
+    # -- native fast path ---------------------------------------------------------
+
+    def _fast_call(self, date_list, sampling, tgt_sampling):
+        """Batch-pack all dates in one native pass (operational hot path:
+        ~720 tasks per monthly predict call, ``validate_ERA.py:79``).
+
+        Handles the common configuration — every sampling strategy "all",
+        no split links, no aux_at_contexts. Returns None to fall back.
+        """
+        from deepsensornz_tpu.native.taskpack import (
+            available, interp_grid_points_native, pack_station_batches,
+        )
+
+        if not available() or len(date_list) == 0:
+            return None
+        if tgt_sampling != "all" or self.links or self.aux_at_contexts is not None:
+            return None
+        for ci, entry in enumerate(self.context):
+            if _is_frame(entry) and sampling[ci] != "all":
+                return None
+        import jax.numpy as jnp
+
+        dates = np.asarray(
+            [np.datetime64(d, "s") for d in date_list], dtype="datetime64[s]"
+        )
+
+        if not hasattr(self, "_flat_cache"):
+            self._flat_cache = {}
+
+        def flat(df, key, filter_finite):
+            cache_key = (key, id(df))
+            if cache_key not in self._flat_cache:
+                cols = _frame_value_cols(df)
+                t = df["time"].to_numpy().astype("datetime64[s]")
+                x1 = df["x1"].to_numpy(np.float32)
+                x2 = df["x2"].to_numpy(np.float32)
+                v = df[cols].to_numpy(np.float32)
+                if filter_finite:
+                    ok = np.isfinite(v).all(-1)
+                    t, x1, x2, v = t[ok], x1[ok], x2[ok], v[ok]
+                else:
+                    v = np.nan_to_num(v)
+                self._flat_cache[cache_key] = (t, x1, x2, v)
+            return self._flat_cache[cache_key]
+
+        # point context sets
+        points = []
+        for ci, entry in enumerate(self.context):
+            if not _is_frame(entry):
+                continue
+            t, x1, x2, v = flat(entry, f"ctx{ci}", filter_finite=False)
+            dts = dates + np.timedelta64(self.delta_t[ci], "D")
+            packed = pack_station_batches(t, x1, x2, v, dts, self.point_capacity)
+            if packed is None:
+                return None
+            px, py, pm, _ = packed
+            points.append(PointContext(
+                x=jnp.asarray(px), y=jnp.asarray(py), mask=jnp.asarray(pm)
+            ))
+
+        # targets
+        t, x1, x2, v = flat(self.target, "tgt", filter_finite=True)
+        packed = pack_station_batches(t, x1, x2, v, dates, self.target_capacity)
+        if packed is None:
+            return None
+        xt, yt, ytm, _ = packed
+
+        # aux at targets via the native bilinear gather
+        yt_aux = None
+        if self.aux_at_targets is not None:
+            chans = []
+            flat_x1 = xt[..., 0].ravel().astype(np.float64)
+            flat_x2 = xt[..., 1].ravel().astype(np.float64)
+            for f in _grid_channels(self.aux_at_targets):
+                g1 = f.coords[f.dims[-2]].astype(np.float64)
+                g2 = f.coords[f.dims[-1]].astype(np.float64)
+                s1, s2 = np.argsort(g1), np.argsort(g2)
+                grid = np.take(np.take(f.data, s1, -2), s2, -1).astype(np.float32)
+                out = interp_grid_points_native(grid, g1[s1], g2[s2], flat_x1, flat_x2)
+                if out is None:
+                    return None
+                chans.append(out.reshape(xt.shape[:2]))
+            yt_aux = jnp.asarray(np.stack(chans, -1))
+
+        # gridded context sets: vectorised nearest-time gather
+        grids = []
+        for ci, entry in enumerate(self.context):
+            if _is_frame(entry):
+                continue
+            dts = dates + np.timedelta64(self.delta_t[ci], "D")
+            chans = []
+            spec = None
+            for f in _grid_channels(entry):
+                if "time" in f.dims:
+                    ft = f.coords["time"].astype("datetime64[s]").astype(np.int64)
+                    order = np.argsort(ft)
+                    want = dts.astype(np.int64)
+                    pos = np.clip(np.searchsorted(ft[order], want), 1, len(ft) - 1)
+                    left, right = ft[order][pos - 1], ft[order][pos]
+                    pick = order[np.where(np.abs(want - left) <= np.abs(right - want),
+                                          pos - 1, pos)]
+                    data = np.nan_to_num(
+                        np.take(f.data, pick, axis=f.axis("time")).astype(np.float32)
+                    )
+                else:
+                    data = np.broadcast_to(
+                        np.nan_to_num(f.data.astype(np.float32)),
+                        (len(dates),) + f.data.shape,
+                    )
+                chans.append(data)
+                spec = (f.coords[f.dims[-2]].astype(np.float32),
+                        f.coords[f.dims[-1]].astype(np.float32))
+            grids.append(GridContext(
+                x1=jnp.asarray(spec[0]), x2=jnp.asarray(spec[1]),
+                y=jnp.asarray(np.stack(chans, -1)),
+            ))
+
+        return TaskBatch(
+            grids=tuple(grids), points=tuple(points),
+            xt=jnp.asarray(xt), yt=jnp.asarray(yt), yt_mask=jnp.asarray(ytm),
+            yt_aux=yt_aux,
+            x1g=jnp.asarray(self.x1g), x2g=jnp.asarray(self.x2g),
         )
 
     @staticmethod
