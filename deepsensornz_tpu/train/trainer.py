@@ -224,21 +224,40 @@ class Trainer:
         metadata: Optional[dict] = None,
         shuffle: bool = True,
         verbose: bool = True,
+        resume_from: Optional[str] = None,
     ) -> dict:
-        """Train; returns {params, train_losses, val_losses, best_val, ...}."""
-        from deepsensornz_tpu.train.checkpoint import save_checkpoint
+        """Train; returns {params, train_losses, val_losses, best_val, ...}.
+
+        ``resume_from``: checkpoint directory to restore params AND
+        optimizer state from (mid-run resume — capability the reference
+        lacks, SURVEY.md §5.4 'no optimizer-state checkpointing').
+        """
+        from deepsensornz_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
         state = init_state(self.model, self.rng, take(train_tasks, np.arange(min(batch_size, train_tasks.batch_size))),
                            self.weight_decay, params=params)
+        start_epoch = 0
+        prev_train, prev_val = [], []
+        if resume_from is not None:
+            loaded = load_checkpoint(resume_from, state.params, state.opt_state)
+            state = TrainState(
+                params=loaded["params"],
+                opt_state=loaded.get("opt_state", state.opt_state),
+                step=jnp.asarray(loaded.get("metadata", {}).get("step", 0)),
+            )
+            meta = loaded.get("metadata", {})
+            prev_train = list(meta.get("train_losses", []))
+            prev_val = list(meta.get("val_losses", []))
+            start_epoch = int(meta.get("epoch", -1)) + 1
         sched = PlateauScheduler(self.lr0, plateau_factor, plateau_patience)
         stopper = EarlyStopping(early_stop_patience)
         n = train_tasks.batch_size
         order_rng = np.random.default_rng(0)
-        best_val = np.inf
+        best_val = min(prev_val) if prev_val else np.inf
         best_params = state.params
-        train_losses, val_losses = [], []
+        train_losses, val_losses = prev_train, prev_val
         lr = self.lr0
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             t0 = time.time()
             idx = order_rng.permutation(n) if shuffle else np.arange(n)
             losses = []

@@ -122,3 +122,19 @@ def test_take_and_concat_roundtrip(setting):
     c = concat([a, b])
     np.testing.assert_array_equal(np.asarray(c.xt), np.asarray(take(tasks, np.arange(6)).xt))
     np.testing.assert_array_equal(np.asarray(c.grids[0].y), np.asarray(take(tasks, np.arange(6)).grids[0].y))
+
+
+def test_resume_from_checkpoint(setting, tmp_path):
+    """Resume restores optimizer state + loss history and continues epochs."""
+    model, tasks, val = setting
+    tr = Trainer(model, lr=1e-3)
+    ckpt = str(tmp_path / "resume_ckpt")
+    out1 = tr.fit(tasks, val, n_epochs=2, batch_size=4,
+                  checkpoint_dir=ckpt, verbose=False)
+    tr2 = Trainer(model, lr=1e-3)
+    out2 = tr2.fit(tasks, val, n_epochs=4, batch_size=4,
+                   checkpoint_dir=None, resume_from=ckpt, verbose=False)
+    # history continues from the saved run (2 old + 2 new epochs)
+    assert len(out2["train_losses"]) == 4
+    assert out2["train_losses"][:2] == out1["train_losses"][:2]
+    assert np.isfinite(out2["best_val"])
