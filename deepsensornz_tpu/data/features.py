@@ -129,6 +129,22 @@ def shift_humidity_from_unit_interval(values: np.ndarray) -> np.ndarray:
     return np.asarray(values) * 2.0 - 1.0
 
 
+def random_hour_subset(field: Field, seed: int = 0) -> Field:
+    """One random hour per day (normalisation-statistics subsample for
+    hourly data — ``utils.py:278-289`` / ``preprocess.py:787-790``: fitting
+    stats on every hour of a long hourly record is wasteful and biases
+    toward high-frequency structure)."""
+    t = field.coords["time"].astype("datetime64[s]")
+    days = t.astype("datetime64[D]")
+    uniq = np.unique(days)
+    rng = np.random.default_rng(seed)
+    picks = []
+    for d in uniq:
+        idx = np.nonzero(days == d)[0]
+        picks.append(idx[rng.integers(len(idx))])
+    return field.isel(time=np.asarray(picks))
+
+
 def rmse(pred: np.ndarray, truth: np.ndarray) -> float:
     """Root-mean-square error over finite pairs (``utils.py:30``)."""
     p = np.asarray(pred, dtype=np.float64).ravel()

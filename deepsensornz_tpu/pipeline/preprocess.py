@@ -215,6 +215,14 @@ class PreprocessForDownscaling:
         apply_only = data_processor is not None
 
         method = cfg.NORMALISATION[self.variable]
+        # hourly records: fit stats on one random hour per day, then apply
+        # to the full record (preprocess.py:787-790)
+        if not apply_only:
+            from deepsensornz_tpu.data.features import random_hour_subset
+
+            for k, v in self.base_ds.items():
+                if "time" in v.dims and _is_hourly(v) and k not in dp.config:
+                    dp._fit(k, random_hour_subset(v).data, method)
         base_n = Dataset({
             k: dp(v, method=method, assert_computed=apply_only)
             for k, v in self.base_ds.items()
