@@ -181,6 +181,19 @@ def decode_grid(
     Bm = rbf(x2g, xt2)     # (W, Wt)
     f_cf = jnp.transpose(f.astype(jnp.float32), (0, 3, 1, 2))  # (B, C, H, W)
 
+    # zero-pad the SOURCE dims to tile multiples: partial input blocks read
+    # unspecified memory beyond the array edge, and the accumulation would
+    # fold that garbage in (verified on hardware). Zero A-columns/B-rows
+    # make padded source cells contribute exactly nothing.
+    Hp = _cdiv(H, sh) * sh
+    Wp = _cdiv(W, sw) * sw
+    if Hp != H:
+        A = jnp.pad(A, ((0, 0), (0, Hp - H)))
+        f_cf = jnp.pad(f_cf, ((0, 0), (0, 0), (0, Hp - H), (0, 0)))
+    if Wp != W:
+        Bm = jnp.pad(Bm, ((0, Wp - W), (0, 0)))
+        f_cf = jnp.pad(f_cf, ((0, 0), (0, 0), (0, 0), (0, Wp - W)))
+
     grid = (B, _cdiv(Ht, tt), _cdiv(H, sh), _cdiv(W, sw))
     out = pl.pallas_call(
         _decode_kernel,
