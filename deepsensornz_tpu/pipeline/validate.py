@@ -109,13 +109,18 @@ def post_transform_for(variable: str):
 
 
 def remove_stations_from_frame(df, station_names: Sequence[str]):
-    """Holdout filter (``validate.py:1120-1142``); matches by name when
-    available, else by (lat, lon) pairs."""
+    """Holdout filter (``validate.py:1120-1142``); matches ``station_name``
+    when present, else ``station_id`` (string-compared)."""
     if not station_names:
         return df
+    wanted = {str(s) for s in station_names}
     if "station_name" in df.columns:
-        return df[~df["station_name"].isin(station_names)].reset_index(drop=True)
-    return df
+        keep = ~df["station_name"].astype(str).isin(wanted)
+    elif "station_id" in df.columns:
+        keep = ~df["station_id"].astype(str).isin(wanted)
+    else:
+        return df
+    return df[keep].reset_index(drop=True)
 
 
 class Validate:

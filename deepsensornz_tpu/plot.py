@@ -162,6 +162,37 @@ def plot_errors_at_stations(
     return fig
 
 
+def gen_test_fig(
+    base_field: Optional[Field] = None,
+    prediction: Optional[Dataset] = None,
+    time_idx: int = 0,
+    n_samples: int = 2,
+    sea_mask: Optional[np.ndarray] = None,
+):
+    """Base-field / mean / samples / std panel figure
+    (``gen_test_fig``, ``validate.py:948-1046``)."""
+    panels = []
+    if base_field is not None:
+        f = base_field.isel(time=time_idx) if "time" in base_field.dims else base_field
+        panels.append(("ERA5 / base", f, "RdYlBu_r"))
+    if prediction is not None:
+        panels.append(("ConvNP mean", prediction["mean"].isel(time=time_idx), "RdYlBu_r"))
+        if "samples" in prediction:
+            for i in range(min(n_samples, prediction["samples"].shape[0])):
+                panels.append((f"ConvNP sample {i}",
+                               prediction["samples"].isel(sample=i, time=time_idx),
+                               "RdYlBu_r"))
+        panels.append(("ConvNP std", prediction["std"].isel(time=time_idx), "Greys_r"))
+    fig, axes = plt.subplots(1, len(panels), figsize=(5 * len(panels), 6))
+    axes = np.atleast_1d(axes)
+    for ax, (title, f, cmap) in zip(axes, panels):
+        if sea_mask is not None and f.data.shape == sea_mask.shape:
+            f = f.copy(np.where(sea_mask, np.nan, f.data))
+        plot_field(f, ax, title, cmap=cmap)
+    fig.tight_layout()
+    return fig
+
+
 def make_loss_plot(train_losses: Sequence[float], val_losses: Sequence[float],
                    path: Optional[str] = None):
     """Loss curves (``make_loss_plot``, ``train.py:513-522``)."""
