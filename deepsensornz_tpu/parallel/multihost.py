@@ -1,0 +1,79 @@
+"""Multi-host / multi-slice scale-out.
+
+SURVEY.md §5.8: the reference has no distributed backend at all (scale-out
+= one process per year/GPU, ``outputs/infer.py:50-62``). Here scale-out is
+JAX-native:
+
+- within a slice: the (data, spatial) mesh over ICI (``parallel.mesh``),
+- across hosts/slices: ``jax.distributed`` + a global mesh whose ``data``
+  axis spans slices (gradient psum rides DCN, everything else stays on ICI).
+
+This module wraps the initialisation/boilerplate; it is exercised on
+multi-host deployments (single-host environments see exactly one process).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import AxisType, Mesh
+
+from deepsensornz_tpu.parallel.mesh import DATA_AXIS, SPATIAL_AXIS
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> dict:
+    """Initialise jax.distributed from args or standard env vars
+    (``COORDINATOR_ADDRESS`` / ``NUM_PROCESSES`` / ``PROCESS_ID``; TPU pod
+    environments usually auto-detect and need no arguments).
+
+    Returns {process_index, process_count, local_devices, global_devices}.
+    """
+    if jax.process_count() == 1 and (
+        coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    ):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address
+            or os.environ.get("COORDINATOR_ADDRESS"),
+            num_processes=num_processes
+            or int(os.environ.get("NUM_PROCESSES", "1")),
+            process_id=process_id or int(os.environ.get("PROCESS_ID", "0")),
+        )
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": jax.local_device_count(),
+        "global_devices": jax.device_count(),
+    }
+
+
+def make_global_mesh(n_spatial: int = 1) -> Mesh:
+    """Global (data, spatial) mesh over ALL processes' devices.
+
+    Layout: the spatial axis is packed within a host/slice (ICI — halo
+    exchange is latency-sensitive), the data axis spans slices (DCN-tolerant
+    gradient psum).
+    """
+    devices = np.asarray(jax.devices())
+    n = len(devices)
+    if n % n_spatial:
+        raise ValueError(f"{n} devices not divisible by n_spatial={n_spatial}")
+    dev_array = devices.reshape(n // n_spatial, n_spatial)
+    return Mesh(dev_array, (DATA_AXIS, SPATIAL_AXIS),
+                axis_types=(AxisType.Auto, AxisType.Auto))
+
+
+def shard_batch_for_host(global_batch: int) -> tuple[int, int]:
+    """(per-host batch, host offset) for feeding a globally-sharded batch
+    from per-host input pipelines (each host loads only its shard)."""
+    pc, pi = jax.process_count(), jax.process_index()
+    if global_batch % pc:
+        raise ValueError(f"global batch {global_batch} not divisible by {pc} hosts")
+    per = global_batch // pc
+    return per, pi * per
