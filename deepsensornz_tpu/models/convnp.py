@@ -56,6 +56,7 @@ class ConvNPConfig:
     mlp_hidden: int = 64
     mlp_layers: int = 1
     kernel_size: int = 5
+    upsample: str = "transpose"   # U-Net up-path: "transpose" | "nearest"
     compute_dtype: str = "bfloat16"   # U-Net compute precision
     sigmoid_output: bool = False  # ConvNP_sigmoid parity (train.py:639-655)
     # (batch_axis, spatial_axis) mesh-axis names for SPMD sharding of the
@@ -131,6 +132,7 @@ class ConvNP(nn.Module):
             out_channels=cfg.decoder_channels,
             kernel_size=cfg.kernel_size,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
+            upsample=cfg.upsample,
             name="unet",
         )(h)
         f = _maybe_shard_grid(f, cfg)

@@ -23,12 +23,18 @@ import jax.numpy as jnp
 
 
 class UNet(nn.Module):
-    """Stride-2 conv U-Net. Input/output: (B, H, W, C) NHWC."""
+    """Stride-2 conv U-Net. Input/output: (B, H, W, C) NHWC.
+
+    ``upsample``: "transpose" (ConvTranspose, neuralprocesses-style) or
+    "nearest" (2× nearest-neighbour repeat + regular conv) — the latter
+    avoids the dilated-input lowering of transpose convs on TPU.
+    """
 
     channels: Sequence[int] = (64, 64, 64, 64)
     out_channels: int = 64
     kernel_size: int = 5
     compute_dtype: jnp.dtype = jnp.float32
+    upsample: str = "transpose"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -51,8 +57,12 @@ class UNet(nn.Module):
 
         for i, ch in reversed(list(enumerate(self.channels))):
             x = nn.relu(x)
-            x = nn.ConvTranspose(ch, k, strides=(2, 2), padding="SAME", dtype=dt,
-                                 name=f"up_{i}")(x)
+            if self.upsample == "nearest":
+                x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+                x = nn.Conv(ch, k, padding="SAME", dtype=dt, name=f"up_{i}")(x)
+            else:
+                x = nn.ConvTranspose(ch, k, strides=(2, 2), padding="SAME", dtype=dt,
+                                     name=f"up_{i}")(x)
             x = jnp.concatenate([x, skips[i]], axis=-1)
             x = nn.relu(x)
             x = nn.Conv(ch, k, padding="SAME", dtype=dt, name=f"up_mix_{i}")(x)
