@@ -219,6 +219,71 @@ class Predictor:
         std = np.where(mask, std, np.nan)
         return {"mean": mean, "std": std, "mask": mask}
 
+    def ar_sample_grid(
+        self,
+        task: TaskBatch,
+        target_elev: Field,
+        n_samples: int = 1,
+        subsample_factor: int = 4,
+        n_blocks: int = 8,
+        unnormalise: bool = True,
+        sea_mask: bool = True,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Coherent AR samples on the prediction grid.
+
+        deepsensor's ``ar_sample`` + ``ar_subsample_factor`` pattern: AR runs
+        on a coarse subset of the grid (every ``subsample_factor``-th cell),
+        then each sampled field is interpolated back to the full grid.
+        Returns (n_samples, B, Ht, Wt) in physical units.
+        """
+        from deepsensornz_tpu.infer.ar import ar_sample
+
+        lat = target_elev.coords[target_elev.dims[-2]]
+        lon = target_elev.coords[target_elev.dims[-1]]
+        lat_c = lat[::subsample_factor]
+        lon_c = lon[::subsample_factor]
+        x1c = self.dp.map_x1(lat_c).astype(np.float32)
+        x2c = self.dp.map_x2(lon_c).astype(np.float32)
+        pts = np.stack(np.meshgrid(x1c, x2c, indexing="ij"), -1).reshape(-1, 2)
+        M = len(pts)
+        B = task.batch_size
+        xt = jnp.asarray(np.broadcast_to(pts[None], (B, M, 2)).copy())
+        aux = None
+        if task.yt_aux is not None:
+            A = task.yt_aux.shape[-1]
+            # nearest elevation-derived aux at the coarse grid points is
+            # approximated by zeros only if no aux is available; use the
+            # normalised elevation channel broadcast when dims match
+            aux = jnp.zeros((B, M, A), jnp.float32)
+        coarse_task = task.replace(
+            xt=xt, yt=jnp.zeros((B, M, self.model.cfg.dim_yt), jnp.float32),
+            yt_mask=jnp.ones((B, M), jnp.float32), yt_aux=aux,
+        )
+        import jax as _jax
+
+        samples = ar_sample(
+            self.model, self.params, coarse_task, n_samples=n_samples,
+            n_blocks=n_blocks, rng=_jax.random.key(seed),
+        )[..., 0]  # (S, B, M)
+        fields = samples.reshape(n_samples, B, len(lat_c), len(lon_c))
+        # upsample back to the full grid (separable linear)
+        out = np.empty((n_samples, B, len(lat), len(lon)), np.float32)
+        for s in range(n_samples):
+            for b in range(B):
+                f = Field(fields[s, b], ("latitude", "longitude"),
+                          {"latitude": lat_c, "longitude": lon_c}, "s")
+                up = f._interp_one("latitude", lat, "linear")
+                up = up._interp_one("longitude", lon, "linear")
+                out[s, b] = up.data
+        if unnormalise:
+            scale, offset = _affine_for(self.dp, self._target_stat_name())
+            out = out * scale + offset
+        if sea_mask:
+            sea = np.isnan(target_elev.data)
+            out = np.where(sea, np.nan, out)
+        return out
+
     def _target_stat_name(self) -> str:
         """Resolve the DataProcessor stats entry for the target variable."""
         if self.target_var in self.dp.config:

@@ -106,3 +106,16 @@ def test_resolution_factor(setting):
     assert out["mean"].shape == (2, 24, 24)
     out2 = pred.predict_grid(task, dem, aux_at_targets=dem_n, resolution_factor=2.0)
     assert out2["mean"].shape == (2, 96, 96)
+
+
+def test_ar_sample_grid(setting):
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    samples = pred.ar_sample_grid(task, dem, n_samples=2, subsample_factor=8,
+                                  n_blocks=3)
+    assert samples.shape == (2, 2, 48, 48)
+    sea = np.isnan(dem.data)
+    assert np.isnan(samples[:, :, sea]).all()
+    land = ~sea
+    assert np.isfinite(samples[:, :, land]).all()
+    # different draws differ
+    assert not np.allclose(samples[0][:, land], samples[1][:, land])
