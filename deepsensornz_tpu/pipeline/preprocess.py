@@ -342,6 +342,7 @@ class PreprocessForDownscaling:
         coarsen_factor: int = 1,
         include_landmask: bool = False,
         include_time_of_year: bool = False,
+        time_of_year_freq: str = "D",
         include_coordinates: bool = False,
         data_processor: Optional[DataProcessor] = None,
         wrf_source=None,
@@ -361,7 +362,7 @@ class PreprocessForDownscaling:
         self.preprocess_stations(station_df, fill_missing=fill_missing_stations)
         self.calculate_data_processor(data_processor, test_norm=test_norm)
         if include_time_of_year:
-            self.add_time_of_year()
+            self.add_time_of_year(time_of_year_freq)
         if include_coordinates:
             self.add_coordinate_channels()
         return self.get_processed_output_dict()

@@ -120,6 +120,34 @@ def plot_context_encoding(model, params, task, max_channels: int = 8):
     return fig
 
 
+def plot_task(task, batch_idx: int = 0):
+    """Visualise one task's context/target geometry (role of
+    ``deepsensor.plot.task``/``offgrid_context``): gridded context extents,
+    station context points, and target points in x-space."""
+    fig, ax = plt.subplots(figsize=(6, 6))
+    for i, g in enumerate(task.grids):
+        x1 = np.asarray(g.x1)
+        x2 = np.asarray(g.x2)
+        ax.add_patch(plt.Rectangle(
+            (x2.min(), x1.min()), x2.max() - x2.min(), x1.max() - x1.min(),
+            fill=False, ls="--", color=f"C{i}", label=f"grid context {i}",
+        ))
+    for i, p in enumerate(task.points):
+        m = np.asarray(p.mask)[batch_idx].astype(bool)
+        pts = np.asarray(p.x)[batch_idx][m]
+        ax.scatter(pts[:, 1], pts[:, 0], s=16, marker="o",
+                   label=f"point context {i} (n={m.sum()})")
+    tm = np.asarray(task.yt_mask)[batch_idx].astype(bool)
+    tp = np.asarray(task.xt)[batch_idx][tm]
+    ax.scatter(tp[:, 1], tp[:, 0], s=24, marker="x", color="k",
+               label=f"targets (n={tm.sum()})")
+    ax.set_xlabel("x2")
+    ax.set_ylabel("x1")
+    ax.legend(loc="upper right", fontsize=8)
+    fig.tight_layout()
+    return fig
+
+
 def plot_timeseries_comparison(
     times: np.ndarray,
     pred_mean: np.ndarray,

@@ -126,3 +126,52 @@ def test_plots_render(tmp_path):
     fig4 = make_loss_plot([3, 2, 1], [3.1, 2.2, 1.5], str(tmp_path / "loss.png"))
     assert (tmp_path / "loss.png").exists()
     matplotlib.pyplot.close("all")
+
+
+def test_plot_task_and_context_encoding():
+    import jax
+    import matplotlib
+
+    from deepsensornz_tpu.data.processor import DataProcessor
+    from deepsensornz_tpu.data.synthetic import synthetic_bundle
+    from deepsensornz_tpu.models.convnp import ConvNP, ConvNPConfig
+    from deepsensornz_tpu.plot import plot_context_encoding, plot_task
+    from deepsensornz_tpu.task.loader import TaskLoader
+
+    base, dem, stations = synthetic_bundle(n_times=2, base_hw=(8, 8),
+                                           dem_hw=(16, 16), n_stations=6)
+    dp = DataProcessor()
+    dp.set_coord_maps_from_extent(-47, -34, 166, 178)
+    tl = TaskLoader(context=[dp(base, method="mean_std"),
+                             dp(stations, method="mean_std")],
+                    target=dp(stations), internal_density=16, grid_multiple=16)
+    task = tl([base.coords["time"][0]])
+    fig = plot_task(task)
+    cfg = ConvNPConfig(unet_channels=(8,), likelihood="cnp", internal_density=16,
+                       decoder_channels=8, mlp_hidden=8, compute_dtype="float32")
+    model = ConvNP(cfg)
+    params = model.init(jax.random.key(0), task)
+    fig2 = plot_context_encoding(model, params, task, max_channels=4)
+    matplotlib.pyplot.close("all")
+
+
+def test_hourly_time_of_year():
+    from deepsensornz_tpu.data.synthetic import synthetic_bundle
+    from deepsensornz_tpu.pipeline.preprocess import PreprocessForDownscaling
+
+    base, dem, stations = synthetic_bundle(n_times=6, base_hw=(8, 8),
+                                           dem_hw=(16, 16), n_stations=6)
+    # hourly timestamps
+    import numpy as np
+
+    base.coords["time"] = (np.datetime64("2020-06-01T00", "s")
+                           + np.arange(6) * np.timedelta64(1, "h"))
+    stations["time"] = np.repeat(base.coords["time"],
+                                 len(stations) // 6 + 1)[: len(stations)]
+    pre = PreprocessForDownscaling(variable="temperature")
+    out = pre.run_processing_sequence(
+        dem, {"temperature": base}, stations,
+        highres_factor=2, lowres_factor=4, daily=False,
+        include_time_of_year=True, time_of_year_freq="H",
+    )
+    assert "cos_H" in out["base_ds"] and "sin_H" in out["base_ds"]
