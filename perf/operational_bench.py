@@ -94,6 +94,10 @@ def main(argv=None):
         "device_s": round(t_dev, 2),
         "write_one_chunk_s": round(t_write, 2),
         "tasks_per_sec": round(ns.hours / total, 1),
+        # NOTE: through a remote-device tunnel, device_s is dominated by
+        # downloading the full mean/std maps (~14 MB/chunk); on a real TPU
+        # host this is PCIe-speed and the cycle bench (bench.py) reflects
+        # the compute latency.
     }), flush=True)
 
 
