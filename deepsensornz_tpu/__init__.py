@@ -28,3 +28,10 @@ shapes; raggedness (varying station counts) is handled by padding + masks.
 __version__ = "0.1.0"
 
 from deepsensornz_tpu import config  # noqa: F401
+
+# Convenience top-level API (mirrors the reference's flat deepsensor imports)
+from deepsensornz_tpu.data.grid import Dataset, Field, open_dataset, save_dataset  # noqa: F401
+from deepsensornz_tpu.data.processor import DataProcessor  # noqa: F401
+from deepsensornz_tpu.models.convnp import ConvNP, ConvNPConfig  # noqa: F401
+from deepsensornz_tpu.task.loader import TaskLoader  # noqa: F401
+from deepsensornz_tpu.task.task import TaskBatch  # noqa: F401
