@@ -450,6 +450,72 @@ def fill_missing_station_values(df):
     return out
 
 
+def save_processed_bundle(bundle: dict, out_dir: str) -> None:
+    """Persist a processed-output bundle to disk.
+
+    Parity in role with the reference's ``data_processor_dict`` pickle
+    ({data_processor, aux_ds, highres_aux_ds, landmask_ds, ...},
+    ``preprocess.py:831-847``) which is reused across runs/fine-tunes
+    (``train_downscaling.py:151-173``). Fields go to netCDF (h5), the
+    station frame to pickle, the processor + settings to JSON.
+    """
+    import json
+    import pickle
+
+    from deepsensornz_tpu.data.grid import Dataset as _DS, save_dataset
+
+    os.makedirs(out_dir, exist_ok=True)
+    bundle["data_processor"].save(os.path.join(out_dir, "data_processor.json"))
+    for key in ("base_ds", "aux_ds", "highres_aux_ds"):
+        ds = bundle.get(key)
+        if ds is not None:
+            save_dataset(ds, os.path.join(out_dir, f"{key}.nc"), float32=False)
+    lm = bundle.get("landmask_ds")
+    if lm is not None:
+        save_dataset(_DS([lm]), os.path.join(out_dir, "landmask_ds.nc"), float32=False)
+    if bundle.get("station_df") is not None:
+        with open(os.path.join(out_dir, "station_df.pkl"), "wb") as f:
+            pickle.dump(bundle["station_df"], f)
+    with open(os.path.join(out_dir, "settings.json"), "w") as f:
+        json.dump({"data_settings": bundle.get("data_settings", {}),
+                   "date_info": bundle.get("date_info", {})}, f, indent=2)
+
+
+def load_processed_bundle(out_dir: str) -> dict:
+    """Inverse of :func:`save_processed_bundle` (raw variants not cached)."""
+    import json
+    import pickle
+
+    from deepsensornz_tpu.data.grid import open_dataset
+
+    bundle: dict = {"raw": {}}
+    bundle["data_processor"] = DataProcessor.load(
+        os.path.join(out_dir, "data_processor.json")
+    )
+
+    def fix_dims(ds):
+        # dims were saved under their coord names (x1/x2/time) — reattach
+        return ds
+
+    for key in ("base_ds", "aux_ds", "highres_aux_ds"):
+        path = os.path.join(out_dir, f"{key}.nc")
+        bundle[key] = open_dataset(path) if os.path.exists(path) else None
+    lm_path = os.path.join(out_dir, "landmask_ds.nc")
+    bundle["landmask_ds"] = (
+        open_dataset(lm_path)["landmask"] if os.path.exists(lm_path) else None
+    )
+    st_path = os.path.join(out_dir, "station_df.pkl")
+    if os.path.exists(st_path):
+        with open(st_path, "rb") as f:
+            bundle["station_df"] = pickle.load(f)
+    else:
+        bundle["station_df"] = None
+    with open(os.path.join(out_dir, "settings.json")) as f:
+        settings = json.load(f)
+    bundle.update(settings)
+    return bundle
+
+
 def _is_hourly(f: Field) -> bool:
     t = f.coords.get("time")
     if t is None or len(t) < 2:

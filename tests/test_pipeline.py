@@ -146,3 +146,38 @@ def test_operational_era_inference(trained_run):
     # physical-unit sanity: means within a plausible temperature range
     vals = pred["mean"].data[:, land]
     assert vals.min() > -60 and vals.max() < 60
+
+
+def test_processed_bundle_cache_roundtrip(raw_data, tmp_path):
+    """Processed bundle persists and reloads into a trainable state."""
+    import numpy as np
+
+    from deepsensornz_tpu.pipeline.preprocess import (
+        load_processed_bundle,
+        save_processed_bundle,
+    )
+
+    base, dem, stations = raw_data
+    pre = PreprocessForDownscaling(variable="temperature")
+    out = pre.run_processing_sequence(
+        dem, {"temperature": base}, stations,
+        highres_factor=2, lowres_factor=4, include_time_of_year=True,
+    )
+    d = str(tmp_path / "cache")
+    save_processed_bundle(out, d)
+    back = load_processed_bundle(d)
+    assert back["data_processor"].config == out["data_processor"].config
+    np.testing.assert_allclose(
+        back["base_ds"]["t2m"].data, out["base_ds"]["t2m"].data, rtol=1e-6
+    )
+    assert back["base_ds"]["t2m"].dims == out["base_ds"]["t2m"].dims
+    assert len(back["station_df"]) == len(out["station_df"])
+    assert back["data_settings"]["variable"] == "temperature"
+
+    # the reloaded bundle must drive training end-to-end
+    tr = Train(back)
+    tr.setup_task_loader(station_as_context="all", internal_density=24)
+    tr.initialise_model(unet_channels=(8,), likelihood="cnp",
+                        compute_dtype="float32", decoder_channels=8, mlp_hidden=8)
+    res = tr.train_model(n_epochs=1, batch_size=4, lr=1e-3, verbose=False)
+    assert np.isfinite(res["best_val"])
