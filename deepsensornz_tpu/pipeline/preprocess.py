@@ -492,11 +492,6 @@ def load_processed_bundle(out_dir: str) -> dict:
     bundle["data_processor"] = DataProcessor.load(
         os.path.join(out_dir, "data_processor.json")
     )
-
-    def fix_dims(ds):
-        # dims were saved under their coord names (x1/x2/time) — reattach
-        return ds
-
     for key in ("base_ds", "aux_ds", "highres_aux_ds"):
         path = os.path.join(out_dir, f"{key}.nc")
         bundle[key] = open_dataset(path) if os.path.exists(path) else None
