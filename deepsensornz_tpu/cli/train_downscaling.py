@@ -24,7 +24,6 @@ import argparse
 import os
 import shutil
 
-import numpy as np
 import yaml
 
 from deepsensornz_tpu import config as cfg

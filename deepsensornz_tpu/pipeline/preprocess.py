@@ -43,7 +43,7 @@ from deepsensornz_tpu.data.features import (
 )
 from deepsensornz_tpu.data.grid import Dataset, Field
 from deepsensornz_tpu.data.processor import DataProcessor
-from deepsensornz_tpu.data.sources.era5 import ERA5Source, daily_resample
+from deepsensornz_tpu.data.sources.era5 import daily_resample
 
 try:
     import pandas as pd

@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

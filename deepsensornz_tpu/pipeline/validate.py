@@ -35,7 +35,7 @@ from deepsensornz_tpu.data.grid import Field
 from deepsensornz_tpu.data.processor import DataProcessor
 from deepsensornz_tpu.infer.predict import Predictor
 from deepsensornz_tpu.models.convnp import ConvNP, ConvNPConfig
-from deepsensornz_tpu.train.checkpoint import PARAMS_FILE, load_checkpoint
+from deepsensornz_tpu.train.checkpoint import load_checkpoint
 
 try:
     import pandas as pd
