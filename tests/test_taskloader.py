@@ -177,3 +177,16 @@ def test_aux_at_contexts_appends_channels(pipeline):
     m = np.asarray(a.points[0].mask)[0].astype(bool)
     aux_vals = np.asarray(a.points[0].y)[0][m, -1]
     assert aux_vals.min() >= -1.01 and aux_vals.max() <= 1.01
+
+
+def test_random_sampling_varies_per_task(pipeline):
+    """'random': a FRESH uniform fraction per task (train.py:311-314)."""
+    tl, times = make_loader(pipeline, context_sampling=["all", "random"])
+    counts = []
+    for t in times[:5]:
+        task = tl(t, datewise_deterministic=True)
+        counts.append(float(np.asarray(task.points[0].mask).sum()))
+    assert len(set(counts)) > 1  # fractions differ across dates
+    # deterministic per date
+    again = tl(times[0], datewise_deterministic=True)
+    assert float(np.asarray(again.points[0].mask).sum()) == counts[0]
