@@ -45,13 +45,15 @@ def load_real_data(args):
                        args.get("val_end_year", args.get("train_end_year", 2001)) + 1,
                        args.get("year_step") or 1))
     era5 = ERA5Source(paths["era5"]["parent"])
-    base = era5.load(variable, years)
+    context_vars = list(dict.fromkeys([variable] + args.get("context_variables", [])))
+    base_fields = {v: era5.load(v, years) for v in context_vars}
+    base = base_fields[variable]
     dem = TopographySource(paths["topography"]["file"]).load(area=args.get("area"))
     stations = StationSource(paths["stations"]["parent"]).load_stations_time(
         variable, base.coords["time"], daily=True,
         remove_stations=args.get("remove_stations", []),
     )
-    return base, dem, stations
+    return base_fields, dem, stations
 
 
 def load_synthetic_data(args):
@@ -86,8 +88,9 @@ def main(argv=None):
 
     if args.get("synthetic"):
         base, dem, stations = load_synthetic_data(args)
+        base_fields = {variable: base}
     else:
-        base, dem, stations = load_real_data(args)
+        base_fields, dem, stations = load_real_data(args)
 
     # data-processor reuse-or-create (train_downscaling.py:151-173)
     dp_path = os.path.join(model_dir, "..", "data_processor.json")
@@ -97,7 +100,7 @@ def main(argv=None):
         variable=variable, base=args.get("base", "era5"), area=args.get("area"),
     )
     processed = pre.run_processing_sequence(
-        dem, {variable: base}, stations,
+        dem, base_fields, stations,
         highres_factor=args.get("highres_coarsen_factor") or 10,
         lowres_factor=args.get("lowres_coarsen_factor") or 50,
         coarsen_factor=args.get("era5_coarsen_factor") or 1,

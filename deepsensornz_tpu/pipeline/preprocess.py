@@ -215,6 +215,13 @@ class PreprocessForDownscaling:
         apply_only = data_processor is not None
 
         method = cfg.NORMALISATION[self.variable]
+
+        def method_for(short_name: str) -> str:
+            # each base/context variable normalises by ITS OWN registry
+            # method (config.py:171-179), not the target's
+            std = cfg.VAR_TO_STD.get(short_name)
+            return cfg.NORMALISATION.get(std, method)
+
         # hourly records: fit stats on one random hour per day, then apply
         # to the full record (preprocess.py:787-790)
         if not apply_only:
@@ -222,9 +229,9 @@ class PreprocessForDownscaling:
 
             for k, v in self.base_ds.items():
                 if "time" in v.dims and _is_hourly(v) and k not in dp.config:
-                    dp._fit(k, random_hour_subset(v).data, method)
+                    dp._fit(k, random_hour_subset(v).data, method_for(k))
         base_n = Dataset({
-            k: dp(v, method=method, assert_computed=apply_only)
+            k: dp(v, method=method_for(k), assert_computed=apply_only)
             for k, v in self.base_ds.items()
         })
         hr_n = Dataset({

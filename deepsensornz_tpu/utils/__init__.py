@@ -82,6 +82,7 @@ ARG_SCHEMA = {
     "auto_set_internal_density": str2bool,
     "pretrained_model": str_or_none,
     "remove_stations": lambda v: list(v) if v else [],
+    "context_variables": lambda v: list(v) if v else [],
     "synthetic": str2bool,
 }
 
