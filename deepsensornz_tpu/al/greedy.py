@@ -31,6 +31,16 @@ import numpy as np
 from deepsensornz_tpu.task.task import PointContext, TaskBatch
 
 
+def _match_context_channels(values: jnp.ndarray, ctx_channels: int) -> jnp.ndarray:
+    """Zero-pad feedback values to the context set's channel count (the
+    extra channels are aux_at_contexts, unknown at hypothetical sites)."""
+    extra = ctx_channels - values.shape[-1]
+    if extra <= 0:
+        return values[..., :ctx_channels]
+    pad = jnp.zeros(values.shape[:-1] + (extra,), values.dtype)
+    return jnp.concatenate([values, pad], axis=-1)
+
+
 class Stddev:
     """Acquisition: mean predictive standard deviation over targets
     (lower after adding a sensor = better placement)."""
@@ -142,7 +152,8 @@ class GreedyAlgorithm:
         tiled = jax.tree.map(lambda l: tile(l), task)
         pc = tiled.points[idx]
         new_x = jnp.concatenate([pc.x, cand[:, None, :]], axis=1)
-        new_y = jnp.concatenate([pc.y, c_mean[0][:, None, :]], axis=1)
+        feed = _match_context_channels(c_mean[0][:, None, :], pc.y.shape[-1])
+        new_y = jnp.concatenate([pc.y, feed], axis=1)
         new_m = jnp.concatenate([pc.mask, jnp.ones((S, 1), jnp.float32)], axis=1)
         points = tuple(
             PointContext(x=new_x, y=new_y, mask=new_m) if i == idx else p
@@ -157,7 +168,8 @@ class GreedyAlgorithm:
     def _add_context_point(task, idx, x_new, y_new, dy):
         pc = task.points[idx]
         new_x = jnp.concatenate([pc.x, x_new[None, None, :]], axis=1)
-        new_y = jnp.concatenate([pc.y, y_new[None, None, :dy]], axis=1)
+        feed = _match_context_channels(y_new[None, None, :dy], pc.y.shape[-1])
+        new_y = jnp.concatenate([pc.y, feed], axis=1)
         new_m = jnp.concatenate([pc.mask, jnp.ones((1, 1), jnp.float32)], axis=1)
         points = tuple(
             PointContext(x=new_x, y=new_y, mask=new_m) if i == idx else p

@@ -63,10 +63,17 @@ def ar_sample(
     dy = model.cfg.dim_yt
     idx = ar_context_idx % len(task.points)
     base_n = task.points[idx].x.shape[1]
-    if task.points[idx].y.shape[-1] != dy:
+    ctx_c = task.points[idx].y.shape[-1]
+    aux_c = task.yt_aux.shape[-1] if task.yt_aux is not None else 0
+    n_extra = ctx_c - dy
+    if n_extra < 0:
         raise ValueError(
-            "AR context set channel count must match the target dimension"
+            f"AR context set has {ctx_c} channels < dim_yt={dy}"
         )
+    # extra context channels come from aux_at_contexts; feed back the first
+    # n_extra aux-at-target channels (aux_at_contexts is conventionally a
+    # prefix of aux_at_targets — e.g. elevation of [elevation, TPI…]);
+    # zero-fill if targets carry fewer aux channels than the context needs.
 
     block = -(-M // n_blocks)  # ceil
     n_blocks = -(-M // block)
@@ -91,8 +98,16 @@ def ar_sample(
         # write sampled pseudo-observations into the AR context slots
         pc = task_ext.points[idx]
         slot = base_n + start
+        if n_extra == 0:
+            feedback = sample
+        else:
+            if aux_blk is not None and aux_blk.shape[-1] >= n_extra:
+                extra = aux_blk[..., :n_extra]
+            else:
+                extra = jnp.zeros(sample.shape[:-1] + (n_extra,), jnp.float32)
+            feedback = jnp.concatenate([sample, extra], axis=-1)
         new_x = jax.lax.dynamic_update_slice(pc.x, xt_blk, (0, slot, 0))
-        new_y = jax.lax.dynamic_update_slice(pc.y, sample, (0, slot, 0))
+        new_y = jax.lax.dynamic_update_slice(pc.y, feedback, (0, slot, 0))
         new_m = jax.lax.dynamic_update_slice(pc.mask, mask_blk, (0, slot))
         points = tuple(
             PointContext(x=new_x, y=new_y, mask=new_m) if i == idx else p
