@@ -1,0 +1,132 @@
+"""Operational CLIs (infer + validate) end-to-end against a fake archive."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from deepsensornz_tpu import paths as paths_mod
+from deepsensornz_tpu.data.grid import Dataset, Field, open_dataset, save_dataset
+from deepsensornz_tpu.data.sources.stations import save_station_file
+
+
+@pytest.fixture(scope="module")
+def fake_world(tmp_path_factory):
+    """A miniature on-disk world: ERA5 year files, station archive, DEM,
+    and a trained model in the expected layout."""
+    root = tmp_path_factory.mktemp("world")
+    year = 2020
+
+    # --- DEM (also used for training synthetic geometry) ---------------
+    nlat, nlon = 40, 44
+    lat = np.linspace(-34.0, -47.0, nlat)
+    lon = np.linspace(166.0, 178.0, nlon)
+    rng = np.random.default_rng(0)
+    dem_data = np.abs(rng.normal(300, 200, (nlat, nlon)))
+    dem_data[:4, :] = np.nan  # some sea
+    dem = Field(dem_data, ("latitude", "longitude"),
+                {"latitude": lat, "longitude": lon}, "elevation")
+    os.makedirs(root / "topo")
+    save_dataset(Dataset([dem]), str(root / "topo" / "dem.nc"), float32=False)
+
+    # --- ERA5 archive: one hourly t2m year file -------------------------
+    os.makedirs(root / "era5" / "temperature")
+    t = np.datetime64(f"{year}-01-01", "s") + np.arange(31 * 24) * np.timedelta64(1, "h")
+    blat = np.linspace(-34.0, -47.0, 14)
+    blon = np.linspace(166.0, 178.0, 15)
+    base_data = 12 + 3 * rng.standard_normal((len(t), 14, 15))
+    base = Field(base_data, ("time", "latitude", "longitude"),
+                 {"time": t, "latitude": blat, "longitude": blon}, "t2m")
+    save_dataset(Dataset([base]), str(root / "era5" / "temperature" / f"t2m_{year}.nc"),
+                 float32=False)
+
+    # --- station archive -------------------------------------------------
+    os.makedirs(root / "stations")
+    st_meta = []
+    for i in range(6):
+        name = f"st{i:02d}"
+        slat = float(rng.uniform(-46, -35))
+        slon = float(rng.uniform(167, 177))
+        vals = 12 + 3 * rng.standard_normal(len(t))
+        save_station_file(str(root / "stations" / f"{name}.nc"), name,
+                          slat, slon, float(rng.uniform(5, 800)), t,
+                          {"dry_bulb": vals})
+        st_meta.append(name)
+
+    # --- train a tiny model in the expected layout ----------------------
+    from deepsensornz_tpu.data.sources.era5 import ERA5Source
+    from deepsensornz_tpu.data.sources.stations import StationSource
+    from deepsensornz_tpu.pipeline.preprocess import PreprocessForDownscaling
+    from deepsensornz_tpu.pipeline.train import Train
+
+    era5 = ERA5Source(str(root / "era5"))
+    base_daily_src = era5.load("temperature", [year])
+    stations_df = StationSource(str(root / "stations")).load_stations_time(
+        "temperature", base_daily_src.coords["time"][: 10 * 24]
+    )
+    pre = PreprocessForDownscaling(variable="temperature")
+    processed = pre.run_processing_sequence(
+        dem, {"temperature": base_daily_src.isel(time=np.arange(10 * 24))},
+        stations_df, highres_factor=2, lowres_factor=4, daily=True,
+    )
+    training = Train(processed)
+    training.setup_task_loader(station_as_context="all", internal_density=24)
+    training.initialise_model(unet_channels=(8,), likelihood="cnp",
+                              compute_dtype="float32", decoder_channels=8,
+                              mlp_hidden=8)
+    model_dir = str(root / "models" / "temperature" / "m0")
+    training.train_model(n_epochs=1, batch_size=4, lr=1e-3,
+                         model_dir=model_dir, verbose=False)
+
+    paths_mod.set_data_paths({
+        "era5": {"parent": str(root / "era5")},
+        "stations": {"parent": str(root / "stations")},
+        "topography": {"file": str(root / "topo" / "dem.nc")},
+        "save_model": {"fpath": str(root / "models")},
+    })
+    return root, year, st_meta
+
+
+def test_infer_cli_end_to_end(fake_world, tmp_path):
+    from deepsensornz_tpu.cli.infer import main
+
+    root, year, st_meta = fake_world
+    out_dir = str(tmp_path / "outputs")
+    main([
+        "--var", "temperature", "--model_name", "m0", "--year", str(year),
+        "--months", "1", "--out_dir", out_dir, "--highres_factor", "2",
+        "--remove_stations", st_meta[0],
+    ])
+    out_path = os.path.join(out_dir, "temperature", "m0",
+                            f"temperature_{year}_01.nc")
+    assert os.path.exists(out_path)
+    ds = open_dataset(out_path)
+    assert "mean" in ds and "std" not in ds  # mean_only
+    assert ds["mean"].sizes()["time"] == 31 * 24
+    assert ds.attrs["institution"]
+    # rerun skips the existing month (resumability)
+    main([
+        "--var", "temperature", "--model_name", "m0", "--year", str(year),
+        "--months", "1", "--out_dir", out_dir, "--highres_factor", "2",
+    ])
+
+
+def test_validate_cli_end_to_end(fake_world, tmp_path):
+    from deepsensornz_tpu.cli.validate import main
+
+    root, year, st_meta = fake_world
+    out_dir = str(tmp_path / "validation")
+    main([
+        "--var", "temperature", "--model_name", "m0", "--year", str(year),
+        "--months", "1", "--out_dir", out_dir, "--highres_factor", "2",
+        "--remove_stations", st_meta[0], st_meta[1],
+    ])
+    summary = os.path.join(out_dir, "temperature", "m0", "metrics.json")
+    assert os.path.exists(summary)
+    with open(summary) as f:
+        metrics = json.load(f)
+    key = f"{year}-01"
+    assert key in metrics
+    assert metrics[key]["n_holdout_obs"] > 0
+    assert np.isfinite(metrics[key]["holdout_rmse"])
