@@ -218,6 +218,41 @@ class Validate:
             "n": len(errs),
         }
 
+    def calibration_stats(self, dates, remove_stations: Sequence[str] = ()) -> dict:
+        """Uncertainty calibration at stations: z-score moments + CI coverage.
+
+        For a calibrated model z = (obs − mean)/std is ~N(0,1):
+        |z_mean| ≈ 0, z_std ≈ 1, 95% coverage ≈ 0.95. The reference assessed
+        this visually via ±2σ CI timeseries (``validate.py:862-946``); here
+        it is a quantitative diagnostic.
+        """
+        pred = self.get_predictions(dates, remove_stations)
+        loss = None
+        dpp = self.run["data_processor"]
+        var_col = self.task_loader.target_var_IDs[0]
+        p = dpp.config[var_col]["params"]
+        m = dpp.config[var_col]["method"]
+        yt = pred["yt"][..., 0]
+        if self.run["variable"] == "humidity":
+            yt = yt * 2.0 - 1.0
+        if m == "mean_std":
+            obs = yt * p["std"] + p["mean"]
+        elif m == "positive_semidefinite":
+            obs = yt * p["std"]
+        else:
+            span = p["max"] - p["min"]
+            obs = (yt + 1) / 2 * span + p["min"]
+        mask = pred["mask"]
+        z = np.where(mask, (obs - pred["mean"]) / np.maximum(pred["std"], 1e-9), np.nan)
+        zf = z[np.isfinite(z)]
+        return {
+            "z_mean": float(zf.mean()) if len(zf) else np.nan,
+            "z_std": float(zf.std()) if len(zf) else np.nan,
+            "coverage_95": float(np.mean(np.abs(zf) < 1.96)) if len(zf) else np.nan,
+            "coverage_68": float(np.mean(np.abs(zf) < 1.0)) if len(zf) else np.nan,
+            "n": int(len(zf)),
+        }
+
     def stations_in_date_range(self, station_df, date_range) -> list:
         """Stations reporting over the whole range (``validate.py:474-509``)."""
         lo, hi = np.datetime64(date_range[0]), np.datetime64(date_range[-1])

@@ -181,3 +181,15 @@ def test_processed_bundle_cache_roundtrip(raw_data, tmp_path):
                         compute_dtype="float32", decoder_channels=8, mlp_hidden=8)
     res = tr.train_model(n_epochs=1, batch_size=4, lr=1e-3, verbose=False)
     assert np.isfinite(res["best_val"])
+
+
+def test_calibration_stats(trained_run):
+    model_dir, result, out, raw = trained_run
+    base, dem, stations = raw
+    v = Validate(model_dir)
+    stats = v.calibration_stats(list(base.coords["time"][:3]))
+    assert stats["n"] > 0
+    assert np.isfinite(stats["z_mean"]) and np.isfinite(stats["z_std"])
+    assert 0.0 <= stats["coverage_95"] <= 1.0
+    # 2 epochs of training won't be calibrated, but z must be bounded sanely
+    assert abs(stats["z_mean"]) < 20 and stats["z_std"] < 50
