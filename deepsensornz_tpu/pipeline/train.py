@@ -69,8 +69,8 @@ class Train:
             if station_as_context == "split":
                 sampling.append("split")
                 links = [(len(context) - 1, 0)]
-            elif station_as_context == "all":
-                sampling.append("all")
+            elif station_as_context == "all" or station_as_context is True:
+                sampling.append("all")  # True ≡ "all" (bool YAML arg)
             else:
                 sampling.append(station_as_context)  # float fraction / 'random'
 

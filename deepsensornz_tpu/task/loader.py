@@ -244,14 +244,14 @@ class TaskLoader:
                         zip(ctx_rows["x1"].round(9), ctx_rows["x2"].round(9))
                     )
                     rows = ctx_rows
-                elif strat == "all":
+                elif strat == "all" or strat is True:
                     pass
                 elif strat == "random":
                     frac = rng.random()  # fresh fraction per task (train.py:311-314)
                     rows = rows.sample(frac=frac, random_state=rng.integers(2**31))
-                elif isinstance(strat, float):
+                elif isinstance(strat, float) and not isinstance(strat, bool):
                     rows = rows.sample(frac=strat, random_state=rng.integers(2**31))
-                elif isinstance(strat, (int, np.integer)):
+                elif isinstance(strat, (int, np.integer)) and not isinstance(strat, bool):
                     n = min(int(strat), len(rows))
                     rows = rows.sample(n=n, random_state=rng.integers(2**31))
                 else:
@@ -357,7 +357,7 @@ class TaskLoader:
         if tgt_sampling != "all" or self.links or self.aux_at_contexts is not None:
             return None
         for ci, entry in enumerate(self.context):
-            if _is_frame(entry) and sampling[ci] != "all":
+            if _is_frame(entry) and sampling[ci] != "all" and sampling[ci] is not True:
                 return None
         import jax.numpy as jnp
 

@@ -190,3 +190,13 @@ def test_random_sampling_varies_per_task(pipeline):
     # deterministic per date
     again = tl(times[0], datewise_deterministic=True)
     assert float(np.asarray(again.points[0].mask).sum()) == counts[0]
+
+
+def test_bool_true_means_all(pipeline):
+    """station_as_context=True (bool YAML arg) must behave as 'all', not
+    as an int-1 sample."""
+    tl, times = make_loader(pipeline, context_sampling=["all", True])
+    task = tl(times[0])
+    full = tl(times[0], context_sampling=["all", "all"])
+    assert float(np.asarray(task.points[0].mask).sum()) == \
+        float(np.asarray(full.points[0].mask).sum())
