@@ -170,14 +170,18 @@ class TaskLoader:
             (x1_lo, x1_hi), (x2_lo, x2_hi),
             self.internal_density, self.grid_margin, self.grid_multiple,
         )
-        # station capacity: max simultaneous rows over time, rounded up
+        # station capacity: max simultaneous rows over time, rounded up.
+        # Never SHRINK an existing capacity: stable static shapes mean the
+        # compiled train/predict programs survive operational data swaps
+        # (month-to-month station availability would otherwise retrigger
+        # compilation).
         caps = []
         for entry in list(self.context) + [self.target]:
             if _is_frame(entry) and len(entry):
                 caps.append(int(entry.groupby("time").size().max()))
         cap = _round_up(max(caps, default=8), 8)
-        self.point_capacity = cap
-        self.target_capacity = cap
+        self.point_capacity = max(cap, getattr(self, "point_capacity", 0))
+        self.target_capacity = max(cap, getattr(self, "target_capacity", 0))
 
     # -- seeding ------------------------------------------------------------------
 
