@@ -122,6 +122,7 @@ def train_epoch(model, state: TrainState, tasks: TaskBatch, batch_size: int = 8,
     step_fn = step_fn or make_train_step(model)
     rng = rng or np.random.default_rng(0)
     n = tasks.batch_size
+    batch_size = min(batch_size, n)  # tiny datasets: one partial batch
     idx = rng.permutation(n) if shuffle else np.arange(n)
     losses = []
     for s in range(0, n - batch_size + 1, batch_size):
@@ -252,6 +253,7 @@ class Trainer:
         sched = PlateauScheduler(self.lr0, plateau_factor, plateau_patience)
         stopper = EarlyStopping(early_stop_patience)
         n = train_tasks.batch_size
+        batch_size = min(batch_size, n)  # tiny datasets: one partial batch
         order_rng = np.random.default_rng(0)
         best_val = min(prev_val) if prev_val else np.inf
         best_params = state.params
