@@ -106,7 +106,21 @@ class Field:
     # -- selection ----------------------------------------------------------
 
     def isel(self, **indexers) -> "Field":
-        """Integer/slice/array indexing by dim name."""
+        """Integer/slice/array indexing by dim name.
+
+        At most ONE dim may use an array indexer (numpy advanced indexing
+        would otherwise broadcast them jointly, which is not label
+        semantics).
+        """
+        n_array = sum(
+            1 for v in indexers.values()
+            if isinstance(v, (list, np.ndarray)) and np.ndim(v) > 0
+        )
+        if n_array > 1:
+            raise ValueError(
+                "isel supports an array indexer on at most one dim; "
+                "chain .isel calls for multiple dims"
+            )
         idx = [slice(None)] * self.data.ndim
         for dim, sel in indexers.items():
             idx[self.axis(dim)] = sel

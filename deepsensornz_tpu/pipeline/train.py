@@ -207,6 +207,14 @@ class Train:
         self.params = out["params"]
         self.train_losses = out["train_losses"]
         self.val_losses = out["val_losses"]
+        if model_dir is not None:
+            try:  # loss-curve PNG beside the checkpoint (train.py:513-522)
+                from deepsensornz_tpu.plot import make_loss_plot
+
+                make_loss_plot(self.train_losses, self.val_losses,
+                               os.path.join(model_dir, "losses.png"))
+            except Exception:
+                pass
         return out
 
     def _construct_metadata_dict(self) -> dict:
