@@ -116,7 +116,11 @@ class LowRankGaussian(Likelihood):
     def _split(self, raw):
         dy, r = self.dim_y, self.rank
         mu = raw[..., :dy]
-        var = _softplus(raw[..., dy: 2 * dy])  # noise VARIANCE after softplus
+        # noise VARIANCE after softplus, floored: keeps FᵀD⁻¹F conditioned
+        # in f32 (unfloored training collapsed the noise and produced NaN
+        # Cholesky factors on hardware) — consistent across NLL/moments/
+        # sampling so the floor IS the model
+        var = jnp.maximum(_softplus(raw[..., dy: 2 * dy]), 1e-4)
         fac = raw[..., 2 * dy:].reshape(raw.shape[:-1] + (dy, r)) / jnp.sqrt(float(r))
         return mu, var, fac
 
@@ -141,10 +145,14 @@ class LowRankGaussian(Likelihood):
         dinv = 1.0 / var
         dinv_r = dinv * r
         ft_dinv_r = jnp.einsum("...nr,...n->...r", fac, dinv_r)
-        cap = jnp.eye(self.rank, dtype=jnp.float32) + jnp.einsum(
+        cap = jnp.einsum(
             "...nr,...n,...ns->...rs", fac, dinv, fac,
             preferred_element_type=jnp.float32,
         )
+        # scale-invariant jitter keeps the Cholesky PSD under f32 rounding
+        diag_scale = 1.0 + jnp.mean(jnp.diagonal(cap, axis1=-2, axis2=-1),
+                                    axis=-1, keepdims=True)[..., None]
+        cap = cap + jnp.eye(self.rank, dtype=jnp.float32) * (1.0 + 1e-6 * diag_scale)
         chol = jnp.linalg.cholesky(cap)
         sol = jax.scipy.linalg.cho_solve((chol, True), ft_dinv_r[..., None])[..., 0]
         quad = jnp.sum(r * dinv_r, axis=-1) - jnp.sum(ft_dinv_r * sol, axis=-1)

@@ -171,3 +171,24 @@ def test_factory_channel_counts():
     assert get_likelihood("gnp", rank=32).num_params() == 34
     assert get_likelihood("bernoulli-gamma").num_params() == 3
     assert get_likelihood("cnp-spikes-beta").num_params() == 5
+
+
+def test_gnp_survives_variance_collapse(rng):
+    """Training can drive the noise variance toward zero; the floored
+    capacitance must stay finite (NaN Cholesky observed on hardware)."""
+    import jax
+
+    M, R = 256, 64
+    lik = LowRankGaussian(dim_y=1, rank=R)
+    raw = rng.normal(size=(1, M, lik.num_params())).astype(np.float32)
+    raw[..., 1] = -50.0  # softplus → ~0 variance
+    raw[..., 2:] *= 30.0  # large factors
+    y = rng.normal(size=(1, M, 1)).astype(np.float32)
+    mask = np.ones((1, M), np.float32)
+    nll = float(lik.nll(jnp.asarray(raw), jnp.asarray(y), jnp.asarray(mask)))
+    assert np.isfinite(nll)
+    g = jax.grad(lambda r: lik.nll(r, jnp.asarray(y), jnp.asarray(mask)))(
+        jnp.asarray(raw))
+    assert np.isfinite(np.asarray(g)).all()
+    mean, std = lik.mean_std(jnp.asarray(raw))
+    assert (np.asarray(std) > 0).all() and np.isfinite(np.asarray(std)).all()
