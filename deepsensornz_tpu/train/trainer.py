@@ -88,7 +88,10 @@ def make_train_step(
 
     def step(state: TrainState, task: TaskBatch, lr) -> tuple[TrainState, jnp.ndarray]:
         loss, grads = jax.value_and_grad(model.loss)(state.params, task)
-        ok = jnp.isfinite(loss)
+        # a step is only applied if BOTH the loss and every gradient are
+        # finite — a finite loss with exploding grads (e.g. through a
+        # near-singular Cholesky backward) would otherwise poison params
+        ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
         grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * lr, updates)
