@@ -155,7 +155,13 @@ class LowRankGaussian(Likelihood):
         cap = cap + jnp.eye(self.rank, dtype=jnp.float32) * (1.0 + 1e-6 * diag_scale)
         chol = jnp.linalg.cholesky(cap)
         sol = jax.scipy.linalg.cho_solve((chol, True), ft_dinv_r[..., None])[..., 0]
-        quad = jnp.sum(r * dinv_r, axis=-1) - jnp.sum(ft_dinv_r * sol, axis=-1)
+        # quad = rᵀΣ⁻¹r is mathematically ≥ 0; when FFᵀ dominates the noise
+        # the Woodbury form subtracts two nearly-equal large numbers and f32
+        # cancellation can push it (very) negative — an exploitable hole the
+        # optimizer dives into (observed: "NLL −900"). Clamp to the cone.
+        quad = jnp.maximum(
+            jnp.sum(r * dinv_r, axis=-1) - jnp.sum(ft_dinv_r * sol, axis=-1), 0.0
+        )
         logdet = (
             jnp.sum(jnp.log(var) * mflat, axis=-1)
             + 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)

@@ -192,3 +192,19 @@ def test_gnp_survives_variance_collapse(rng):
     assert np.isfinite(np.asarray(g)).all()
     mean, std = lik.mean_std(jnp.asarray(raw))
     assert (np.asarray(std) > 0).all() and np.isfinite(np.asarray(std)).all()
+
+
+def test_gnp_nll_bounded_below(rng):
+    """With the variance floor and non-negative quad, per-target NLL cannot
+    fall below the analytic floor 0.5·(log floor + log 2π) ≈ −3.69 — the
+    degenerate 'NLL −900' cancellation regime is closed."""
+    floor = 0.5 * (np.log(1e-4) + np.log(2 * np.pi))
+    M, R = 128, 64
+    lik = LowRankGaussian(dim_y=1, rank=R)
+    for seed in range(5):
+        r2 = np.random.default_rng(seed)
+        raw = (r2.standard_normal((1, M, lik.num_params())) * 15).astype(np.float32)
+        y = r2.standard_normal((1, M, 1)).astype(np.float32)
+        nll = float(lik.nll(jnp.asarray(raw), jnp.asarray(y),
+                            jnp.ones((1, M), np.float32)))
+        assert nll >= floor - 1e-3, (seed, nll)
