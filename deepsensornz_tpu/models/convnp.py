@@ -90,7 +90,11 @@ class ConvNP(nn.Module):
     def _lengthscale(self, name: str) -> jnp.ndarray:
         init = _inv_softplus(default_lengthscale(self.cfg.internal_density))
         raw = self.param(name, lambda _: jnp.asarray(init, jnp.float32))
-        return jax.nn.softplus(raw)
+        # floor at half the internal grid spacing: a narrower kernel cannot
+        # be resolved by the grid anyway, and softplus→0 would make the RBF
+        # exponent 0·inf = NaN wherever a point lands exactly on a grid node
+        min_ls = 0.5 / float(self.cfg.internal_density)
+        return jax.nn.softplus(raw) + min_ls
 
     @nn.compact
     def __call__(

@@ -129,3 +129,20 @@ def test_sigmoid_output_bounds(setup):
     raw = m.apply(p, task)
     mu = np.asarray(raw[..., 0])
     assert (mu >= 0).all() and (mu <= 1).all()
+
+
+def test_lengthscale_floor(setup):
+    """Driving the raw lengthscale param to -inf must not produce NaN
+    (softplus→0 made the RBF exponent 0·inf at coincident coordinates)."""
+    import jax.numpy as jnp
+
+    model, params, tl, times, cfg = setup
+    task = tl(list(times[:1]))
+    bad = jax.tree_util.tree_map(lambda x: x, params)
+    p = dict(bad["params"])
+    for k in list(p):
+        if k.startswith("ls_"):
+            p[k] = jnp.asarray(-1e9, jnp.float32)
+    bad = {"params": p}
+    loss = float(model.loss(bad, task))
+    assert np.isfinite(loss)
