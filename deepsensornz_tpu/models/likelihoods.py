@@ -152,20 +152,33 @@ class LowRankGaussian(Likelihood):
         # scale-invariant jitter keeps the Cholesky PSD under f32 rounding
         diag_scale = 1.0 + jnp.mean(jnp.diagonal(cap, axis1=-2, axis2=-1),
                                     axis=-1, keepdims=True)[..., None]
-        cap = cap + jnp.eye(self.rank, dtype=jnp.float32) * (1.0 + 1e-6 * diag_scale)
-        chol = jnp.linalg.cholesky(cap)
+        eye = jnp.eye(self.rank, dtype=jnp.float32)
+        cap = cap + eye * (1.0 + 1e-6 * diag_scale)
+        # the capacitance can exceed f32 Cholesky conditioning when learned
+        # factors grow against a floored noise (condition ~1/ε_f32) —
+        # detect failure on a probe pass and fall back to the DIAGONAL-only
+        # likelihood for that task. The second cholesky runs on a sanitised
+        # input so NaN never enters the differentiated graph (where() would
+        # otherwise leak NaN cotangents from the unselected branch).
+        probe = jnp.linalg.cholesky(cap)
+        cap_ok = jnp.all(
+            jnp.isfinite(jnp.diagonal(probe, axis1=-2, axis2=-1)), axis=-1
+        )
+        cap_safe = jnp.where(cap_ok[..., None, None], cap, eye)
+        chol = jnp.linalg.cholesky(cap_safe)
         sol = jax.scipy.linalg.cho_solve((chol, True), ft_dinv_r[..., None])[..., 0]
         # quad = rᵀΣ⁻¹r is mathematically ≥ 0; when FFᵀ dominates the noise
         # the Woodbury form subtracts two nearly-equal large numbers and f32
         # cancellation can push it (very) negative — an exploitable hole the
         # optimizer dives into (observed: "NLL −900"). Clamp to the cone.
-        quad = jnp.maximum(
-            jnp.sum(r * dinv_r, axis=-1) - jnp.sum(ft_dinv_r * sol, axis=-1), 0.0
+        corr = jnp.where(cap_ok, jnp.sum(ft_dinv_r * sol, axis=-1), 0.0)
+        quad = jnp.maximum(jnp.sum(r * dinv_r, axis=-1) - corr, 0.0)
+        logdet_lr = jnp.where(
+            cap_ok,
+            2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1),
+            0.0,
         )
-        logdet = (
-            jnp.sum(jnp.log(var) * mflat, axis=-1)
-            + 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
-        )
+        logdet = jnp.sum(jnp.log(var) * mflat, axis=-1) + logdet_lr
         n_valid = jnp.maximum(jnp.sum(mflat, axis=-1), 1.0)
         nll = 0.5 * (quad + logdet + n_valid * _LOG_2PI)
         return jnp.mean(nll / n_valid)

@@ -208,3 +208,22 @@ def test_gnp_nll_bounded_below(rng):
         nll = float(lik.nll(jnp.asarray(raw), jnp.asarray(y),
                             jnp.ones((1, M), np.float32)))
         assert nll >= floor - 1e-3, (seed, nll)
+
+
+def test_gnp_capacitance_overflow_fallback(rng):
+    """Factors large enough to break the f32 Cholesky must fall back to the
+    diagonal likelihood (finite NLL and grads), not NaN."""
+    import jax
+
+    M, R = 512, 64
+    lik = LowRankGaussian(dim_y=1, rank=R)
+    raw = rng.normal(size=(1, M, lik.num_params())).astype(np.float32)
+    raw[..., 1] = -50.0        # variance at the floor
+    raw[..., 2:] = rng.normal(size=(1, M, R)).astype(np.float32) * 1e4
+    y = rng.normal(size=(1, M, 1)).astype(np.float32)
+    mask = np.ones((1, M), np.float32)
+    nll = float(lik.nll(jnp.asarray(raw), jnp.asarray(y), jnp.asarray(mask)))
+    assert np.isfinite(nll)
+    g = jax.grad(lambda r: lik.nll(r, jnp.asarray(y), jnp.asarray(mask)))(
+        jnp.asarray(raw))
+    assert np.isfinite(np.asarray(g)).all()
