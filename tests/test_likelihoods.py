@@ -215,7 +215,7 @@ def test_gnp_capacitance_overflow_fallback(rng):
     diagonal likelihood (finite NLL and grads), not NaN."""
     import jax
 
-    M, R = 512, 64
+    M, R = 192, 64
     lik = LowRankGaussian(dim_y=1, rank=R)
     raw = rng.normal(size=(1, M, lik.num_params())).astype(np.float32)
     raw[..., 1] = -50.0        # variance at the floor
