@@ -113,3 +113,15 @@ def test_debug_toggles():
     assert jax.config.jax_debug_nans
     disable_debug()
     assert not jax.config.jax_debug_nans
+
+
+def test_profile_trace_writes_dir(tmp_path):
+    import jax.numpy as jnp
+
+    from deepsensornz_tpu.perf.harness import profile_trace
+
+    d = str(tmp_path / "trace")
+    with profile_trace(d):
+        _ = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+    assert os.path.isdir(d)
+    assert any(os.scandir(d))
