@@ -119,9 +119,15 @@ def test_fast_path_speedup(pipeline):
     tl = TaskLoader(context=[base_n, st_n], target=st_n, aux_at_targets=dem_n,
                     internal_density=32, grid_multiple=16)
     dates = list(times) * 20  # 120 tasks
-    t0 = time.perf_counter()
-    fast = tl(dates)
-    t_fast = time.perf_counter() - t0
+    def timed(fn):
+        best = float("inf")
+        for _ in range(2):  # best-of-2 to damp scheduler noise
+            t0 = time.perf_counter()
+            out = fn()
+            best = min(best, time.perf_counter() - t0)
+        return out, best
+
+    fast, t_fast = timed(lambda: tl(dates))
 
     import deepsensornz_tpu.native.taskpack as tp
 
@@ -129,9 +135,7 @@ def test_fast_path_speedup(pipeline):
     try:
         tp._LIB = None
         tp._TRIED = True
-        t0 = time.perf_counter()
-        slow = tl(dates)
-        t_slow = time.perf_counter() - t0
+        slow, t_slow = timed(lambda: tl(dates))
     finally:
         tp._LIB = lib
     assert fast.batch_size == slow.batch_size == 120
