@@ -56,6 +56,41 @@ def _affine_for(dp: DataProcessor, var: str) -> tuple[float, float]:
     raise ValueError(m)
 
 
+@functools.lru_cache(maxsize=64)
+def _grid_forward_fn(model, n_samples: int):
+    """Jitted gridded forward, shared across Predictor instances of the
+    same (hashable) model — a fresh Predictor never recompiles."""
+    lik = model.cfg.make_likelihood()
+
+    @jax.jit
+    def fn(params, task, target_grid, seed):
+        raw = model.apply(params, task, target_grid=target_grid)
+        mean, std = lik.mean_std(raw)
+        out = {"mean": mean, "std": std}
+        if n_samples > 0:
+            # flatten grid → (B, Ht*Wt, K) so the head's joint sampler applies
+            B, Ht, Wt, K = raw.shape
+            flat = raw.reshape(B, Ht * Wt, K)
+            s = lik.sample(flat, jax.random.key(seed), n_samples)
+            out["samples"] = s.reshape((n_samples, B, Ht, Wt, -1))
+        return out
+
+    return fn
+
+
+@functools.lru_cache(maxsize=64)
+def _point_forward_fn(model):
+    lik = model.cfg.make_likelihood()
+
+    @jax.jit
+    def fn(params, task):
+        raw = model.apply(params, task)
+        mean, std = lik.mean_std(raw)
+        return {"mean": mean, "std": std}
+
+    return fn
+
+
 class Predictor:
     """Bind (model, params, data_processor) into a predict callable."""
 
@@ -69,24 +104,13 @@ class Predictor:
 
     # -- jitted cores --------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=(0, 4))
     def _grid_forward(self, params, task, target_grid, n_samples: int, seed=0):
-        raw = self.model.apply(params, task, target_grid=target_grid)
-        mean, std = self.likelihood.mean_std(raw)
-        out = {"mean": mean, "std": std}
-        if n_samples > 0:
-            # flatten grid → (B, Ht*Wt, K) so the head's joint sampler applies
-            B, Ht, Wt, K = raw.shape
-            flat = raw.reshape(B, Ht * Wt, K)
-            s = self.likelihood.sample(flat, jax.random.key(seed), n_samples)
-            out["samples"] = s.reshape((n_samples, B, Ht, Wt, -1))
-        return out
+        return _grid_forward_fn(self.model, n_samples)(
+            params, task, target_grid, jnp.asarray(seed)
+        )
 
-    @functools.partial(jax.jit, static_argnums=(0,))
     def _point_forward(self, params, task):
-        raw = self.model.apply(params, task)
-        mean, std = self.likelihood.mean_std(raw)
-        return {"mean": mean, "std": std}
+        return _point_forward_fn(self.model)(params, task)
 
     # -- public API ------------------------------------------------------------
 
