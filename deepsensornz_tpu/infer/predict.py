@@ -247,6 +247,7 @@ class Predictor:
         self,
         task: TaskBatch,
         target_elev: Field,
+        aux_at_targets=None,
         n_samples: int = 1,
         subsample_factor: int = 4,
         n_blocks: int = 8,
@@ -276,10 +277,29 @@ class Predictor:
         aux = None
         if task.yt_aux is not None:
             A = task.yt_aux.shape[-1]
-            # nearest elevation-derived aux at the coarse grid points is
-            # approximated by zeros only if no aux is available; use the
-            # normalised elevation channel broadcast when dims match
-            aux = jnp.zeros((B, M, A), jnp.float32)
+            if aux_at_targets is not None:
+                # real aux channels at the coarse AR grid points, matching
+                # what the model was conditioned on during training
+                from deepsensornz_tpu.data.grid import Dataset as _DS
+                from deepsensornz_tpu.task.loader import interp_grid_at_points
+
+                chans = (
+                    list(aux_at_targets.values())
+                    if isinstance(aux_at_targets, _DS) else [aux_at_targets]
+                )
+                cols = [
+                    interp_grid_at_points(f, pts[:, 0], pts[:, 1])
+                    for f in chans
+                ]
+                a = np.stack(cols, -1).astype(np.float32)
+                if a.shape[-1] != A:
+                    raise ValueError(
+                        f"aux channel mismatch: task has {A}, grid aux has "
+                        f"{a.shape[-1]}"
+                    )
+                aux = jnp.asarray(np.broadcast_to(a[None], (B, M, A)).copy())
+            else:
+                aux = jnp.zeros((B, M, A), jnp.float32)
         coarse_task = task.replace(
             xt=xt, yt=jnp.zeros((B, M, self.model.cfg.dim_yt), jnp.float32),
             yt_mask=jnp.ones((B, M), jnp.float32), yt_aux=aux,

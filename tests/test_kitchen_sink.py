@@ -96,8 +96,9 @@ def test_sink_gridded_predict_with_samples(sink):
     land = ~np.isnan(dem.data)
     assert np.isfinite(pred["mean"].data[:, land]).all()
 
-    ar = predictor.ar_sample_grid(task, dem, n_samples=1, subsample_factor=8,
-                                  n_blocks=2)
+    ar = predictor.ar_sample_grid(
+        task, dem, aux_at_targets=training.task_loader.aux_at_targets,
+        n_samples=1, subsample_factor=8, n_blocks=2)
     assert np.isfinite(ar[:, :, land]).all()
 
 

@@ -110,8 +110,8 @@ def test_resolution_factor(setting):
 
 def test_ar_sample_grid(setting):
     pred, task, dem, dem_n, times, stations, st_col = setting
-    samples = pred.ar_sample_grid(task, dem, n_samples=2, subsample_factor=8,
-                                  n_blocks=3)
+    samples = pred.ar_sample_grid(task, dem, aux_at_targets=dem_n,
+                                  n_samples=2, subsample_factor=8, n_blocks=3)
     assert samples.shape == (2, 2, 48, 48)
     sea = np.isnan(dem.data)
     assert np.isnan(samples[:, :, sea]).all()
