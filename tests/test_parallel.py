@@ -111,3 +111,21 @@ def test_pad_batch_to_multiple(setting):
     padded, n_real = pad_batch_to_multiple(task, 4)
     assert padded.batch_size == 4 and n_real == 3
     assert float(np.asarray(padded.yt_mask)[3].sum()) == 0.0
+
+
+def test_multihost_helpers_single_process():
+    from deepsensornz_tpu.parallel.multihost import (
+        initialize_multihost,
+        make_global_mesh,
+        shard_batch_for_host,
+    )
+
+    info = initialize_multihost()
+    assert info["process_count"] == 1 and info["process_index"] == 0
+    mesh = make_global_mesh(n_spatial=2)
+    assert mesh.shape["spatial"] == 2
+    assert mesh.shape["data"] == len(jax.devices()) // 2
+    per, off = shard_batch_for_host(16)
+    assert per == 16 and off == 0
+    with pytest.raises(ValueError):
+        make_global_mesh(n_spatial=3)
