@@ -125,19 +125,23 @@ def encode_offgrid(
 
 
 def _decode_kernel(a_ref, b_ref, f_ref, out_ref):
-    """Program over (batch, target-H tile, source-H block, source-W block).
-    Channel-first. Both source dims accumulate (the contraction is additive
-    in H and W blocks); the output block acts as the accumulator — it stays
-    resident in VMEM across the (k, l) revisits (same output index) and is
-    written back to HBM once, on the last visit.
+    """Program over (batch, channel block, target-H tile, source-H block,
+    source-W block). Channel-first. Both source dims accumulate (the
+    contraction is additive in H and W blocks); the output block acts as the
+    accumulator — it stays resident in VMEM across the (k, l) revisits
+    (same output index) and is written back to HBM once, on the last visit.
+
+    Channels are a GRID dimension with a small per-program block (not a full
+    unroll): large (128×128)·(128×·) matmuls per channel keep the MXU busy,
+    where a TT=16 tile ran at ~10% utilisation.
 
     a_ref: (TT, SH) target-x1 × source-x1 weights (this H block)
     b_ref: (SW, TU) source-x2 × target-x2 weights (this W block)
-    f_ref: (1, C, SH, SW) grid features (this source block)
-    out_ref: (1, C, TT, TU) output block / accumulator
+    f_ref: (1, CB, SH, SW) grid features (this channel/source block)
+    out_ref: (1, CB, TT, TU) output block / accumulator
     """
-    k = pl.program_id(2)
-    l = pl.program_id(3)
+    k = pl.program_id(3)
+    l = pl.program_id(4)
 
     @pl.when(jnp.logical_and(k == 0, l == 0))
     def _():
@@ -145,13 +149,13 @@ def _decode_kernel(a_ref, b_ref, f_ref, out_ref):
 
     a = a_ref[...]                 # (TT, SH)
     b = b_ref[...]                 # (SW, TU)
-    c_dim = out_ref.shape[1]
-    for c in range(c_dim):         # static channel unroll: two 2-D matmuls
+    cb = out_ref.shape[1]
+    for c in range(cb):            # small static unroll: two 2-D matmuls
         t = jnp.dot(a, f_ref[0, c], preferred_element_type=jnp.float32)  # (TT, SW)
         out_ref[0, c] += jnp.dot(t, b, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("tt", "sh", "sw", "interpret"))
+@functools.partial(jax.jit, static_argnames=("tt", "sh", "sw", "cb", "interpret"))
 def decode_grid(
     x1g: jnp.ndarray,   # (H,)
     x2g: jnp.ndarray,   # (W,)
@@ -160,9 +164,10 @@ def decode_grid(
     xt2: jnp.ndarray,   # (Wt,)
     lengthscale,
     normalize: bool = True,
-    tt: int = 16,
+    tt: int = 128,
     sh: int = 128,
     sw: int = 128,
+    cb: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused gridded SetConv decode. Returns (B, Ht, Wt, C)."""
@@ -171,6 +176,7 @@ def decode_grid(
     tt = min(tt, Ht)
     sh = min(sh, H)
     sw = min(sw, W)
+    cb = min(cb, C)
     ls = jnp.asarray(lengthscale, jnp.float32)
 
     def rbf(a, b):
@@ -181,34 +187,39 @@ def decode_grid(
     Bm = rbf(x2g, xt2)     # (W, Wt)
     f_cf = jnp.transpose(f.astype(jnp.float32), (0, 3, 1, 2))  # (B, C, H, W)
 
-    # zero-pad the SOURCE dims to tile multiples: partial input blocks read
-    # unspecified memory beyond the array edge, and the accumulation would
-    # fold that garbage in (verified on hardware). Zero A-columns/B-rows
-    # make padded source cells contribute exactly nothing.
+    # zero-pad the SOURCE dims (and channel blocks) to tile multiples:
+    # partial input blocks read unspecified memory beyond the array edge,
+    # and the accumulation would fold that garbage in (verified on
+    # hardware). Zero A-columns/B-rows make padded source cells contribute
+    # exactly nothing.
     Hp = _cdiv(H, sh) * sh
     Wp = _cdiv(W, sw) * sw
+    Cp = _cdiv(C, cb) * cb
     if Hp != H:
         A = jnp.pad(A, ((0, 0), (0, Hp - H)))
         f_cf = jnp.pad(f_cf, ((0, 0), (0, 0), (0, Hp - H), (0, 0)))
     if Wp != W:
         Bm = jnp.pad(Bm, ((0, Wp - W), (0, 0)))
         f_cf = jnp.pad(f_cf, ((0, 0), (0, 0), (0, 0), (0, Wp - W)))
+    if Cp != C:
+        f_cf = jnp.pad(f_cf, ((0, 0), (0, Cp - C), (0, 0), (0, 0)))
 
-    grid = (B, _cdiv(Ht, tt), _cdiv(H, sh), _cdiv(W, sw))
+    grid = (B, Cp // cb, _cdiv(Ht, tt), _cdiv(H, sh), _cdiv(W, sw))
     out = pl.pallas_call(
         _decode_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, C, Ht, Wt), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Cp, Ht, Wt), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tt, sh), lambda b, i, k, l: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((sw, Wt), lambda b, i, k, l: (l, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, sh, sw), lambda b, i, k, l: (b, 0, k, l), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tt, sh), lambda b, c, i, k, l: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sw, Wt), lambda b, c, i, k, l: (l, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cb, sh, sw), lambda b, c, i, k, l: (b, c, k, l), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, C, tt, Wt), lambda b, i, k, l: (b, 0, i, 0), memory_space=pltpu.VMEM
+            (1, cb, tt, Wt), lambda b, c, i, k, l: (b, c, i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(A, Bm, f_cf)
+    out = out[:, :C]
 
     out = jnp.transpose(out, (0, 2, 3, 1))     # → (B, Ht, Wt, C)
     if normalize:
