@@ -118,11 +118,47 @@ class TaskCache:
             yield self.load_shard(path)
 
     def iter_epochs(self, n_epochs: int, shuffle: bool = True,
-                    seed: int = 0) -> Iterator[TaskBatch]:
-        """Stream shards for several epochs with per-epoch shard shuffling."""
+                    seed: int = 0, prefetch: int = 2) -> Iterator[TaskBatch]:
+        """Stream shards for several epochs with per-epoch shard shuffling.
+
+        ``prefetch`` > 0 decodes upcoming shards on a background thread so
+        disk/decompress latency overlaps the device step.
+        """
         rng = np.random.default_rng(seed)
         paths = self.shards()
-        for _ in range(n_epochs):
-            order = rng.permutation(len(paths)) if shuffle else np.arange(len(paths))
-            for i in order:
-                yield self.load_shard(paths[i])
+
+        def gen():
+            for _ in range(n_epochs):
+                order = rng.permutation(len(paths)) if shuffle else np.arange(len(paths))
+                for i in order:
+                    yield self.load_shard(paths[i])
+
+        return prefetch_iterator(gen(), depth=prefetch) if prefetch else gen()
+
+
+def prefetch_iterator(it: Iterator, depth: int = 2) -> Iterator:
+    """Run an iterator on a background thread with a bounded queue —
+    host-side shard loading overlaps device compute."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # surface errors on the consumer side
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -74,3 +74,30 @@ def test_training_from_cache(loader, tmp_path):
         losses.append(float(loss))
     assert np.isfinite(losses).all() if hasattr(np, "isfinite") else True
     assert losses[-1] < losses[0]
+
+
+def test_prefetch_iterator_order_and_errors():
+    from deepsensornz_tpu.task.cache import prefetch_iterator
+
+    assert list(prefetch_iterator(iter(range(10)), depth=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("shard corrupt")
+
+    it = prefetch_iterator(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError):
+        next(it)
+
+
+def test_iter_epochs_prefetched(loader, tmp_path):
+    tl, times = loader
+    cache = TaskCache(str(tmp_path / "cachep"))
+    cache.build(tl, list(times), shard_size=4)
+    batches = list(cache.iter_epochs(2, prefetch=2))
+    assert len(batches) == 4
+    plain = list(cache.iter_epochs(2, prefetch=0))
+    np.testing.assert_array_equal(
+        np.asarray(batches[0].xt), np.asarray(plain[0].xt)
+    )
