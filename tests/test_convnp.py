@@ -91,8 +91,12 @@ def test_gridded_prediction_matches_offgrid(setup):
         yt_mask=jnp.ones((1, 64)),
     )
     raw_pts = model.apply(params, task_pts)
+    # the two decode paths contract in different orders; TPU's bf16-pass
+    # matmuls round them apart more than CPU f32 does
+    rtol, atol = (5e-3, 1e-4) if jax.default_backend() == "cpu" else (5e-2, 1e-2)
     np.testing.assert_allclose(
-        np.asarray(raw_grid).reshape(1, -1, 2), np.asarray(raw_pts), rtol=5e-3, atol=1e-4
+        np.asarray(raw_grid).reshape(1, -1, 2), np.asarray(raw_pts),
+        rtol=rtol, atol=atol,
     )
 
 

@@ -30,7 +30,9 @@ def test_cnp_matches_scipy(rng):
     mu = raw[..., 0]
     sigma = softplus(raw[..., 1])
     want = -st.norm.logpdf(y[..., 0], mu, sigma).mean()
-    assert got == pytest.approx(want, rel=1e-5)
+    # TPU transcendentals round differently than scipy/f64
+    rel = 1e-5 if jax.default_backend() == "cpu" else 5e-3
+    assert got == pytest.approx(want, rel=rel)
 
 
 def test_cnp_mask_equivalence(rng):
