@@ -15,6 +15,9 @@ from deepsensornz_tpu.ops.setconv import (
 
 jax.config.update("jax_enable_x64", False)
 
+# TPU's default f32 matmul runs bf16 passes; CPU is exact f32
+_RTOL, _ATOL = ((2e-4, 1e-5) if jax.default_backend() == "cpu" else (3e-2, 1e-3))
+
 
 def brute_encode(x1g, x2g, x, y, mask, ls):
     """O(H·W·N) direct scatter — ground truth for the separable version."""
@@ -42,7 +45,7 @@ def test_encode_offgrid_matches_bruteforce(rng):
     ls = 0.15
     got = np.asarray(setconv_encode_offgrid(x1g, x2g, x, y, mask, ls))
     want = brute_encode(x1g, x2g, x, y, mask, ls)
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=_RTOL, atol=_ATOL)
 
 
 def test_encode_padding_is_inert(rng):
@@ -78,7 +81,7 @@ def test_encode_grid_matches_offgrid_flattened(rng):
     yflat = y.reshape(B, -1, C)
     mask = np.ones((B, Hc * Wc), np.float32)
     want = np.asarray(setconv_encode_offgrid(x1g, x2g, pts, yflat, mask, ls))
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=_RTOL, atol=_ATOL)
 
 
 def test_decode_offgrid_interpolates_smooth_field():
@@ -107,7 +110,7 @@ def test_decode_grid_matches_offgrid(rng):
     pts = np.stack(np.meshgrid(xt1, xt2, indexing="ij"), -1).reshape(1, -1, 2)
     pts = np.repeat(pts, B, 0).astype(np.float32)
     want = np.asarray(setconv_decode_offgrid(x1g, x2g, f, pts, ls)).reshape(B, Ht, Wt, C)
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=_RTOL, atol=_ATOL)
 
 
 def test_internal_grid_properties():
