@@ -16,7 +16,7 @@ from deepsensornz_tpu.ops.setconv import (
 jax.config.update("jax_enable_x64", False)
 
 # TPU's default f32 matmul runs bf16 passes; CPU is exact f32
-_RTOL, _ATOL = ((2e-4, 1e-5) if jax.default_backend() == "cpu" else (3e-2, 1e-3))
+_RTOL, _ATOL = ((2e-4, 1e-5) if jax.default_backend() == "cpu" else (3e-2, 5e-3))
 
 
 def brute_encode(x1g, x2g, x, y, mask, ls):
