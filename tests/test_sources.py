@@ -184,3 +184,18 @@ def test_wrf_load_and_regrid(wrf_archive):
     assert len(src._regrid_cache) == 1
     src.regrid_to(fld, target_lat, target_lon)
     assert len(src._regrid_cache) == 1
+
+
+def test_wrf_corrupt_member_identified(wrf_archive):
+    """A corrupt cycle member is reported by path instead of failing the
+    whole load anonymously (wrf.py:145-152 parity)."""
+    root, init = wrf_archive
+    src = WRFSource(root)
+    paths = src.get_filepaths(init)[:3]
+    bad = paths[1] + ".corrupt.nc"
+    with open(bad, "wb") as f:
+        f.write(b"junk")
+    with pytest.raises(IOError) as e:
+        src.load([paths[0], bad, paths[2]], ["temperature"])
+    assert "corrupt" in str(e.value)
+    os.unlink(bad)
