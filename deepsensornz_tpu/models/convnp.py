@@ -72,6 +72,11 @@ class ConvNPConfig:
     # sizes that would otherwise OOM (the reference coarsened its inputs
     # instead, preprocess.py:497-498).
     remat: bool = False
+    # Auxiliary masked-MSE weight on the predictive mean. Joint (gnp) NLL
+    # decouples from point accuracy — the low-rank factors can explain a
+    # biased mean as correlated noise (measured on hardware) — so anchoring
+    # the mean restores RMSE without giving up joint structure. 0 = off.
+    mean_anchor: float = 0.0
 
     def make_likelihood(self) -> Likelihood:
         kw = {"rank": self.rank} if self.likelihood in ("gnp", "lowrank") else {}
@@ -175,9 +180,18 @@ class ConvNP(nn.Module):
         return self.init(rng, task)
 
     def loss(self, params, task: TaskBatch) -> jnp.ndarray:
-        """Normalised NLL (parity: ``model.loss_fn(task, normalise=True)``)."""
+        """Normalised NLL (parity: ``model.loss_fn(task, normalise=True)``),
+        plus the optional mean-anchor MSE term."""
         raw = self.apply(params, task)
-        return self.cfg.make_likelihood().nll(raw, task.yt, task.yt_mask)
+        lik = self.cfg.make_likelihood()
+        out = lik.nll(raw, task.yt, task.yt_mask)
+        if self.cfg.mean_anchor > 0.0:
+            mean, _ = lik.mean_std(raw)
+            m = task.yt_mask.astype(jnp.float32)[..., None]
+            se = jnp.square((mean - task.yt.astype(jnp.float32))) * m
+            mse = jnp.sum(se) / jnp.maximum(jnp.sum(m) * mean.shape[-1], 1.0)
+            out = out + self.cfg.mean_anchor * mse
+        return out
 
 
 def _maybe_shard_grid(x: jnp.ndarray, cfg: ConvNPConfig) -> jnp.ndarray:

@@ -112,3 +112,41 @@ def test_station_context_disabled(dual_target_setting):
     model = ConvNP(cfg)
     params = model.init(jax.random.key(0), task)
     assert np.isfinite(float(model.loss(params, task)))
+
+
+def test_mean_anchor_improves_rmse(dual_target_setting):
+    """gnp + mean anchor: anchored training yields a lower mean-MSE than
+    pure joint NLL at equal steps."""
+    import optax
+
+    tl, times = dual_target_setting
+    task = tl(list(times[:4]))
+
+    def train(anchor):
+        cfg = ConvNPConfig(unet_channels=(8, 8), likelihood="gnp", rank=4,
+                           internal_density=24, dim_yt=2, decoder_channels=8,
+                           mlp_hidden=8, compute_dtype="float32",
+                           mean_anchor=anchor)
+        model = ConvNP(cfg)
+        params = model.init(jax.random.key(0), task)
+        opt = optax.adam(3e-3)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state):
+            loss, grads = jax.value_and_grad(model.loss)(params, task)
+            updates, state = opt.update(grads, state)
+            return optax.apply_updates(params, updates), state, loss
+
+        for _ in range(40):
+            params, state, _ = step(params, state)
+        raw = model.apply(params, task)
+        mean, _ = cfg.make_likelihood().mean_std(raw)
+        m = np.asarray(task.yt_mask).astype(bool)
+        err = np.asarray(mean)[m] - np.asarray(task.yt)[m]
+        return float(np.mean(err ** 2))
+
+    mse_plain = train(0.0)
+    mse_anchored = train(1.0)
+    assert np.isfinite(mse_plain) and np.isfinite(mse_anchored)
+    assert mse_anchored <= mse_plain * 1.05  # anchored at least as good
