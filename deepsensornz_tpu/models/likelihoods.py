@@ -61,9 +61,15 @@ class Likelihood:
         raise NotImplementedError
 
     def _norm(self, pointwise_nll: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+        # batch mean weighted by per-task validity: fully-masked tasks
+        # (batch padding, `parallel/mesh.py::pad_batch_to_multiple`) must
+        # contribute nothing — neither a constant nor a dilution — so the
+        # reported loss matches the unpadded batch exactly
         m = mask.astype(jnp.float32)
-        per_task = jnp.sum(pointwise_nll * m, axis=-1) / jnp.maximum(jnp.sum(m, axis=-1), 1.0)
-        return jnp.mean(per_task)
+        n_valid = jnp.sum(m, axis=-1)
+        per_task = jnp.sum(pointwise_nll * m, axis=-1) / jnp.maximum(n_valid, 1.0)
+        has_valid = (n_valid > 0).astype(jnp.float32)
+        return jnp.sum(per_task * has_valid) / jnp.maximum(jnp.sum(has_valid), 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -179,9 +185,15 @@ class LowRankGaussian(Likelihood):
             0.0,
         )
         logdet = jnp.sum(jnp.log(var) * mflat, axis=-1) + logdet_lr
-        n_valid = jnp.maximum(jnp.sum(mflat, axis=-1), 1.0)
-        nll = 0.5 * (quad + logdet + n_valid * _LOG_2PI)
-        return jnp.mean(nll / n_valid)
+        n_valid_raw = jnp.sum(mflat, axis=-1)
+        n_valid = jnp.maximum(n_valid_raw, 1.0)
+        # use the RAW count for the 2π constant so a fully-masked (padded)
+        # task contributes exactly zero rather than 0.5·log 2π, and weight
+        # the batch mean by per-task validity (same reason as `_norm`)
+        nll = 0.5 * (quad + logdet + n_valid_raw * _LOG_2PI)
+        has_valid = (n_valid_raw > 0).astype(jnp.float32)
+        per_task = nll / n_valid
+        return jnp.sum(per_task * has_valid) / jnp.maximum(jnp.sum(has_valid), 1.0)
 
     def mean_std(self, raw):
         mu, var, fac = self._split(raw)

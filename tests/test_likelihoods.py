@@ -229,3 +229,32 @@ def test_gnp_capacitance_overflow_fallback(rng):
     g = jax.grad(lambda r: lik.nll(r, jnp.asarray(y), jnp.asarray(mask)))(
         jnp.asarray(raw))
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("cnp", {}),
+    ("gnp", {"rank": 4}),
+    ("bernoulli-gamma", {}),
+    ("cnp-spikes-beta", {}),
+])
+def test_fully_masked_task_contributes_nothing(rng, name, kw):
+    """A fully-masked (batch-padding) task must not shift the batch NLL —
+    neither by a constant (gnp's 0.5·log 2π) nor by diluting the mean."""
+    from deepsensornz_tpu.models.likelihoods import get_likelihood
+
+    lik = get_likelihood(name, dim_y=1, **kw)
+    M = 12
+    raw = jnp.asarray(rng.normal(size=(1, M, lik.num_params())), jnp.float32)
+    if name in ("bernoulli-gamma", "cnp-spikes-beta"):
+        y = jnp.asarray(rng.uniform(0.05, 0.9, size=(1, M, 1)), jnp.float32)
+    else:
+        y = jnp.asarray(rng.normal(size=(1, M, 1)), jnp.float32)
+    mask = jnp.ones((1, M), jnp.float32)
+    solo = float(lik.nll(raw, y, mask))
+
+    # append a fully-masked clone task
+    raw2 = jnp.concatenate([raw, raw], 0)
+    y2 = jnp.concatenate([y, y], 0)
+    mask2 = jnp.concatenate([mask, jnp.zeros_like(mask)], 0)
+    padded = float(lik.nll(raw2, y2, mask2))
+    assert padded == pytest.approx(solo, rel=1e-6)
