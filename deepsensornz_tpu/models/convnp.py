@@ -75,8 +75,17 @@ class ConvNPConfig:
     # Auxiliary masked-MSE weight on the predictive mean. Joint (gnp) NLL
     # decouples from point accuracy — the low-rank factors can explain a
     # biased mean as correlated noise (measured on hardware) — so anchoring
-    # the mean restores RMSE without giving up joint structure. 0 = off.
-    mean_anchor: float = 0.0
+    # the mean restores RMSE without giving up joint structure.
+    # None = auto: 1.0 for the joint (gnp) head — the reference's DEFAULT
+    # likelihood (config.py:2685-2689) must be good out of the box (anchored
+    # flagship: holdout 0.81 °C vs 3.18 °C unanchored) — and 0.0 for the
+    # per-point heads, which do not decouple. Set 0.0 explicitly to disable.
+    mean_anchor: Optional[float] = None
+
+    def anchor_weight(self) -> float:
+        if self.mean_anchor is not None:
+            return float(self.mean_anchor)
+        return 1.0 if self.likelihood in ("gnp", "lowrank") else 0.0
 
     def make_likelihood(self) -> Likelihood:
         kw = {"rank": self.rank} if self.likelihood in ("gnp", "lowrank") else {}
@@ -185,12 +194,13 @@ class ConvNP(nn.Module):
         raw = self.apply(params, task)
         lik = self.cfg.make_likelihood()
         out = lik.nll(raw, task.yt, task.yt_mask)
-        if self.cfg.mean_anchor > 0.0:
+        anchor = self.cfg.anchor_weight()
+        if anchor > 0.0:
             mean, _ = lik.mean_std(raw)
             m = task.yt_mask.astype(jnp.float32)[..., None]
             se = jnp.square((mean - task.yt.astype(jnp.float32))) * m
             mse = jnp.sum(se) / jnp.maximum(jnp.sum(m) * mean.shape[-1], 1.0)
-            out = out + self.cfg.mean_anchor * mse
+            out = out + anchor * mse
         return out
 
 

@@ -32,8 +32,25 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from deepsensornz_tpu.parallel.mesh import pad_batch_to_multiple
 from deepsensornz_tpu.task.batching import take
 from deepsensornz_tpu.task.task import TaskBatch
+
+
+def _batches(idx: np.ndarray, batch_size: int):
+    """Yield index slices covering ALL of ``idx``; the tail partial batch is
+    included (the reference trains every task — ``train.py:388-394``). The
+    caller pads it to full size with masked tasks so one compiled program
+    serves every batch."""
+    for s in range(0, len(idx), batch_size):
+        yield idx[s: s + batch_size]
+
+
+def _take_padded(tasks: TaskBatch, sel: np.ndarray, batch_size: int) -> TaskBatch:
+    batch = take(tasks, sel)
+    if len(sel) < batch_size:
+        batch, _ = pad_batch_to_multiple(batch, batch_size)
+    return batch
 
 
 @struct.dataclass
@@ -94,17 +111,22 @@ def make_train_step(
         ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
         grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: u * lr, updates)
+        # gate the WHOLE update with ok: Adam moments and decoupled weight
+        # decay produce nonzero updates even from zero grads, so a
+        # non-finite step must also zero the final update tree — otherwise
+        # params move on a "skipped" step
+        updates = jax.tree.map(lambda u: jnp.where(ok, u * lr, 0.0), updates)
         if frozen_patterns:
             mask = freeze_mask(state.params, frozen_patterns)
             updates = jax.tree.map(
                 lambda u, m: jnp.where(m, 0.0, u), updates, mask
             )
         params = optax.apply_updates(state.params, updates)
-        # if the loss was NaN, keep the old optimizer state too
+        # on a bad step revert the optimizer state ENTIRELY — including the
+        # int step count, so Adam bias correction stays consistent with the
+        # rolled-back moments
         opt_state = jax.tree.map(
-            lambda new, old: jnp.where(ok, new, old) if jnp.issubdtype(jnp.asarray(new).dtype, jnp.floating) else new,
-            opt_state, state.opt_state,
+            lambda new, old: jnp.where(ok, new, old), opt_state, state.opt_state,
         )
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, jnp.where(ok, loss, jnp.nan)
@@ -128,8 +150,8 @@ def train_epoch(model, state: TrainState, tasks: TaskBatch, batch_size: int = 8,
     batch_size = min(batch_size, n)  # tiny datasets: one partial batch
     idx = rng.permutation(n) if shuffle else np.arange(n)
     losses = []
-    for s in range(0, n - batch_size + 1, batch_size):
-        batch = take(tasks, idx[s: s + batch_size])
+    for sel in _batches(idx, batch_size):
+        batch = _take_padded(tasks, sel, batch_size)
         state, loss = step_fn(state, batch, lr)
         losses.append(float(loss))
     return state, losses
@@ -266,8 +288,8 @@ class Trainer:
             t0 = time.time()
             idx = order_rng.permutation(n) if shuffle else np.arange(n)
             losses = []
-            for s in range(0, n - batch_size + 1, batch_size):
-                batch = take(train_tasks, idx[s: s + batch_size])
+            for sel in _batches(idx, batch_size):
+                batch = _take_padded(train_tasks, sel, batch_size)
                 state, loss = self.train_step(state, batch, lr)
                 losses.append(float(loss))
             finite = [l for l in losses if np.isfinite(l)]  # NaN filter (train.py:395)

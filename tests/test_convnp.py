@@ -150,3 +150,17 @@ def test_lengthscale_floor(setup):
     bad = {"params": p}
     loss = float(model.loss(bad, task))
     assert np.isfinite(loss)
+
+
+def test_gnp_mean_anchor_default_on():
+    """The reference's DEFAULT likelihood (gnp, config.py:2685-2689) must be
+    good out of the box: the mean anchor that fixes joint-NLL/RMSE
+    decoupling defaults ON for gnp and OFF for per-point heads."""
+    from deepsensornz_tpu.models.convnp import ConvNPConfig
+
+    assert ConvNPConfig(likelihood="gnp").anchor_weight() == 1.0
+    assert ConvNPConfig(likelihood="cnp").anchor_weight() == 0.0
+    assert ConvNPConfig(likelihood="bernoulli-gamma").anchor_weight() == 0.0
+    # explicit values still win
+    assert ConvNPConfig(likelihood="gnp", mean_anchor=0.0).anchor_weight() == 0.0
+    assert ConvNPConfig(likelihood="cnp", mean_anchor=0.5).anchor_weight() == 0.5

@@ -93,6 +93,55 @@ def test_nan_loss_does_not_poison_params(setting):
     assert all(jax.tree.leaves(finite))
 
 
+def test_nonfinite_step_is_true_noop(setting):
+    """A non-finite step must not move params AT ALL (Adam moments + weight
+    decay produce nonzero updates even from zeroed grads) and must roll back
+    the optimizer state including the int step count."""
+    model, tasks, val = setting
+    state = init_state(model, jax.random.key(0), take(tasks, np.arange(2)),
+                       weight_decay=1e-2)
+    step = make_train_step(model, weight_decay=1e-2, donate=False)
+    # one good step first so Adam moments are nonzero
+    state, _ = step(state, take(tasks, np.arange(2)), 1e-3)
+    poisoned = take(tasks, np.arange(2))
+    poisoned = poisoned.replace(yt=poisoned.yt.at[...].set(jnp.nan))
+    state2, loss = step(state, poisoned, 1e-3)
+    assert np.isnan(float(loss))
+    same = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        state2.params, state.params,
+    )
+    assert all(jax.tree.leaves(same)), "params moved on a skipped step"
+    same_opt = jax.tree.map(
+        lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+        state2.opt_state, state.opt_state,
+    )
+    assert all(jax.tree.leaves(same_opt)), "opt state (incl. count) not rolled back"
+
+
+def test_tail_partial_batch_is_trained(setting):
+    """Every task is stepped on each epoch: with 8 tasks and batch_size 5 the
+    3-task tail is padded (masked) rather than dropped, and the padded batch
+    loss equals the unpadded 3-task loss exactly."""
+    from deepsensornz_tpu.train.trainer import train_epoch
+
+    model, tasks, val = setting
+    state = init_state(model, jax.random.key(0), take(tasks, np.arange(5)))
+    step = make_train_step(model, donate=False)
+    state2, losses = train_epoch(model, state, tasks, batch_size=5, lr=0.0,
+                                 shuffle=False, step_fn=step)
+    assert len(losses) == 2  # ceil(8/5) batches, tail included
+    # padded-batch loss (lr=0 → params unchanged between batches) must match
+    # evaluating the raw 3-task tail directly: padding contributes nothing
+    from deepsensornz_tpu.parallel.mesh import pad_batch_to_multiple
+
+    tail = take(tasks, np.arange(5, 8))
+    tail_loss = float(model.loss(state.params, pad_batch_to_multiple(tail, 5)[0]))
+    raw_tail_loss = float(model.loss(state.params, tail))
+    assert tail_loss == pytest.approx(raw_tail_loss, rel=1e-6)
+    assert losses[1] == pytest.approx(raw_tail_loss, rel=1e-6)
+
+
 def test_freeze_mask_and_frozen_training(setting):
     model, tasks, val = setting
     state = init_state(model, jax.random.key(0), take(tasks, np.arange(2)))
