@@ -182,6 +182,8 @@ class TaskLoader:
         cap = _round_up(max(caps, default=8), 8)
         self.point_capacity = max(cap, getattr(self, "point_capacity", 0))
         self.target_capacity = max(cap, getattr(self, "target_capacity", 0))
+        # invalidate the fast-path flat cache: data may have been swapped
+        self._flat_cache = {}
 
     # -- seeding ------------------------------------------------------------------
 
@@ -239,6 +241,13 @@ class TaskLoader:
                     continue
                 date_eff = np.datetime64(date) + np.timedelta64(self.delta_t[ci], "D")
                 rows = self._rows_at(entry, date_eff)
+                # drop rows with any non-finite value — reference semantics
+                # (train.py:530 ``df.dropna(how='any')``); a NaN station
+                # reading must never become a valid observation of 0
+                vals = rows[self.context_var_IDs[ci]].to_numpy(np.float32)
+                finite = np.isfinite(vals).all(-1)
+                if not finite.all():
+                    rows = rows.iloc[np.nonzero(finite)[0]]
                 strat = sampling[ci]
                 if ci in linked_ctx or strat == "split":
                     n_ctx = max(int(round(self.split_frac * len(rows))), 1)
@@ -372,29 +381,35 @@ class TaskLoader:
         if not hasattr(self, "_flat_cache"):
             self._flat_cache = {}
 
-        def flat(df, key, filter_finite):
-            cache_key = (key, id(df))
-            if cache_key not in self._flat_cache:
-                cols = _frame_value_cols(df)
-                t = df["time"].to_numpy().astype("datetime64[s]")
-                x1 = df["x1"].to_numpy(np.float32)
-                x2 = df["x2"].to_numpy(np.float32)
-                v = df[cols].to_numpy(np.float32)
-                if filter_finite:
-                    ok = np.isfinite(v).all(-1)
-                    t, x1, x2, v = t[ok], x1[ok], x2[ok], v[ok]
-                else:
-                    v = np.nan_to_num(v)
-                self._flat_cache[cache_key] = (t, x1, x2, v)
-            return self._flat_cache[cache_key]
+        def flat(df, key):
+            # cache holds a strong reference to the source frame and is
+            # validated by identity: a swapped-in frame (operational path,
+            # pipeline/validate.py) can never be served a stale entry even
+            # if id() is recycled after GC. _rebuild_static also clears it.
+            cached = self._flat_cache.get(key)
+            if cached is not None and cached[0] is df:
+                return cached[1]
+            cols = _frame_value_cols(df)
+            t = df["time"].to_numpy().astype("datetime64[s]")
+            x1 = df["x1"].to_numpy(np.float32)
+            x2 = df["x2"].to_numpy(np.float32)
+            v = df[cols].to_numpy(np.float32)
+            # drop rows with any non-finite value (reference train.py:530
+            # dropna semantics) — for contexts AND targets alike: a NaN
+            # reading must never enter the encoder as a valid 0
+            ok = np.isfinite(v).all(-1)
+            if not ok.all():
+                t, x1, x2, v = t[ok], x1[ok], x2[ok], v[ok]
+            self._flat_cache[key] = (df, (t, x1, x2, v))
+            return t, x1, x2, v
 
         # point context sets
         points = []
         for ci, entry in enumerate(self.context):
             if not _is_frame(entry):
                 continue
-            t, x1, x2, v = flat(entry, f"ctx{ci}", filter_finite=False)
-            dts = dates + np.timedelta64(self.delta_t[ci], "D")
+            t, x1, x2, v = flat(entry, f"ctx{ci}")
+            dts = self._align_times(t, dates + np.timedelta64(self.delta_t[ci], "D"))
             packed = pack_station_batches(t, x1, x2, v, dts, self.point_capacity)
             if packed is None:
                 return None
@@ -404,8 +419,10 @@ class TaskLoader:
             ))
 
         # targets
-        t, x1, x2, v = flat(self.target, "tgt", filter_finite=True)
-        packed = pack_station_batches(t, x1, x2, v, dates, self.target_capacity)
+        t, x1, x2, v = flat(self.target, "tgt")
+        packed = pack_station_batches(
+            t, x1, x2, v, self._align_times(t, dates), self.target_capacity
+        )
         if packed is None:
             return None
         xt, yt, ytm, _ = packed
@@ -468,10 +485,63 @@ class TaskLoader:
         )
 
     @staticmethod
+    def _align_times(frame_times: np.ndarray, queries: np.ndarray) -> np.ndarray:
+        """Map query timestamps onto a frame's native time resolution.
+
+        Exact matches pass through untouched. A query with no exact match
+        whose calendar day IS present in the frame snaps to the frame's
+        nearest timestamp within that day — a loader built from
+        daily-resampled stations queried at hourly base times (or vice
+        versa) would otherwise silently yield empty context/target sets.
+        The reference aligns by resampled index (``train.py:593-596``).
+        Queries whose whole day is absent stay unchanged (genuinely
+        missing data → empty set is correct).
+        """
+        if len(frame_times) == 0 or len(queries) == 0:
+            return queries
+        uniq = np.unique(frame_times)
+        exact = np.isin(queries, uniq)
+        if exact.all():
+            return queries
+        out = queries.copy()
+        miss = np.nonzero(~exact)[0]
+        q = queries[miss]
+        # nearest frame timestamp WITHIN the query's calendar day only
+        uniq_days = uniq.astype("datetime64[D]")
+        q_days = q.astype("datetime64[D]")
+        lo = np.searchsorted(uniq_days, q_days, side="left")
+        hi = np.searchsorted(uniq_days, q_days, side="right")
+        same_day = hi > lo
+        lo_c = np.minimum(lo, len(uniq) - 1)
+        hi_c = np.maximum(hi - 1, 0)
+        ins = np.searchsorted(uniq, q)
+        li = np.clip(ins - 1, lo_c, hi_c)
+        ri = np.clip(ins, lo_c, hi_c)
+        nearest = np.where(
+            np.abs(q - uniq[li]) <= np.abs(uniq[ri] - q), uniq[li], uniq[ri]
+        )
+        if same_day.any():
+            import warnings
+
+            warnings.warn(
+                "TaskLoader: query timestamps do not exactly match the "
+                "station frame's time resolution; snapping to the frame's "
+                "nearest same-day timestamps (daily/hourly mismatch).",
+                stacklevel=3,
+            )
+            out[miss[same_day]] = nearest[same_day]
+        return out
+
+    @staticmethod
     def _rows_at(df, date):
-        t = np.datetime64(date)
+        t = np.datetime64(date, "s")
         times = df["time"].to_numpy().astype("datetime64[s]")
-        return df.iloc[np.nonzero(times == np.datetime64(t, "s"))[0]]
+        idx = np.nonzero(times == t)[0]
+        if len(idx) == 0 and len(times):
+            t2 = TaskLoader._align_times(times, np.asarray([t]))[0]
+            if t2 != t:
+                idx = np.nonzero(times == t2)[0]
+        return df.iloc[idx]
 
     # -- dims used by ConvNP construction ------------------------------------------
 

@@ -200,3 +200,102 @@ def test_bool_true_means_all(pipeline):
     full = tl(times[0], context_sampling=["all", "all"])
     assert float(np.asarray(task.points[0].mask).sum()) == \
         float(np.asarray(full.points[0].mask).sum())
+
+
+def test_nan_context_rows_dropped_slow_path(pipeline, monkeypatch):
+    """A NaN station reading must never enter the encoder as a valid 0
+    (reference drops NaN rows, train.py:530 dropna)."""
+    import deepsensornz_tpu.native.taskpack as tp
+
+    monkeypatch.setattr(tp, "available", lambda: False)  # force slow path
+    dp, base_n, dem_n, st_n, base = pipeline
+    times = base.coords["time"]
+    st_bad = st_n.copy()
+    col = [c for c in st_bad.columns if c.endswith("_station")][0]
+    t0 = st_bad["time"].iloc[0]
+    first_rows = st_bad.index[st_bad["time"] == t0][:3]
+    st_bad.loc[first_rows, col] = np.nan
+    tl = TaskLoader(context=[base_n, st_bad], target=st_n,
+                    aux_at_targets=dem_n, internal_density=32, grid_multiple=16)
+    task = tl([t0])
+    clean = TaskLoader(context=[base_n, st_n], target=st_n,
+                       aux_at_targets=dem_n, internal_density=32, grid_multiple=16)
+    ref = clean([t0])
+    n_bad = float(np.asarray(task.points[0].mask).sum())
+    n_clean = float(np.asarray(ref.points[0].mask).sum())
+    assert n_bad == n_clean - 3
+    # every surviving context value is finite and none is a fake nan->0
+    m = np.asarray(task.points[0].mask)[0].astype(bool)
+    vals = np.asarray(task.points[0].y)[0][m]
+    assert np.isfinite(vals).all()
+
+
+def test_nan_context_rows_dropped_fast_path(pipeline):
+    """Same dropna semantics on the native fast path (if built)."""
+    from deepsensornz_tpu.native.taskpack import available
+
+    if not available():
+        pytest.skip("native taskpack unavailable")
+    dp, base_n, dem_n, st_n, base = pipeline
+    times = base.coords["time"]
+    st_bad = st_n.copy()
+    col = [c for c in st_bad.columns if c.endswith("_station")][0]
+    t0 = st_bad["time"].iloc[0]
+    first_rows = st_bad.index[st_bad["time"] == t0][:3]
+    st_bad.loc[first_rows, col] = np.nan
+    tl = TaskLoader(context=[base_n, st_bad], target=st_n,
+                    aux_at_targets=dem_n, internal_density=32, grid_multiple=16)
+    task = tl([t0, times[1]])
+    m0 = np.asarray(task.points[0].mask)[0].astype(bool)
+    vals = np.asarray(task.points[0].y)[0][m0]
+    assert np.isfinite(vals).all()
+    clean = TaskLoader(context=[base_n, st_n], target=st_n,
+                       aux_at_targets=dem_n, internal_density=32, grid_multiple=16)
+    ref = clean([t0, times[1]])
+    assert m0.sum() == np.asarray(ref.points[0].mask)[0].astype(bool).sum() - 3
+
+
+def test_flat_cache_invalidated_on_swap(pipeline):
+    """The fast-path flat cache must never serve a stale frame: entries are
+    identity-checked and _rebuild_static clears the cache (operational
+    in-place swap path, pipeline/validate.py)."""
+    dp, base_n, dem_n, st_n, base = pipeline
+    times = base.coords["time"]
+    tl = TaskLoader(context=[base_n, st_n], target=st_n,
+                    aux_at_targets=dem_n, internal_density=32, grid_multiple=16)
+    task1 = tl([times[0]])
+    ref_vals = np.asarray(task1.yt).copy()
+    # swap in a shifted frame (fresh object, same shape) WITHOUT telling the
+    # cache — identity check must still pick up the new data
+    col = [c for c in st_n.columns if c.endswith("_station")][0]
+    shifted = st_n.copy()
+    shifted[col] = shifted[col] + 5.0
+    tl.target = shifted
+    tl.context = [base_n, shifted]
+    task2 = tl([times[0]])
+    m = np.asarray(task2.yt_mask)[0].astype(bool)
+    diff = np.asarray(task2.yt)[0][m] - ref_vals[0][m]
+    np.testing.assert_allclose(diff, 5.0, atol=1e-5)
+    # _rebuild_static clears the cache outright
+    tl._rebuild_static()
+    assert tl._flat_cache == {}
+
+
+def test_time_resolution_mismatch_snaps_same_day(pipeline):
+    """Daily-resampled station frame queried at an hourly timestamp must not
+    silently return an empty task; it snaps to the frame's same-day rows."""
+    dp, base_n, dem_n, st_n, base = pipeline
+    t0 = np.datetime64(st_n["time"].iloc[0], "s")
+    hourly = t0 + np.timedelta64(14, "h")
+    tl = TaskLoader(context=[base_n, st_n], target=st_n,
+                    aux_at_targets=dem_n, internal_density=32, grid_multiple=16)
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        task = tl([hourly])
+    assert float(np.asarray(task.yt_mask).sum()) > 0
+    assert any("resolution" in str(r.message) for r in rec)
+    # a date whose whole day is absent still yields an empty set
+    task2 = tl([t0 + np.timedelta64(3650, "D")])
+    assert float(np.asarray(task2.yt_mask).sum()) == 0
