@@ -79,16 +79,21 @@ def ar_sample(
     n_blocks = -(-M // block)
 
     @functools.partial(jax.jit, static_argnames=())
-    def ar_step(params, task_ext, order, start, key):
+    def ar_step(params, task_ext, order, start, dup_keep, key):
         """Predict at the next block of (permuted) targets, sample, and
-        write the samples into the AR context slots."""
+        write the samples into the AR context slots.
+
+        ``dup_keep`` (block,): 0 where the block entry is a pad-duplicate of
+        an already-visited target (the last block when M % block != 0) —
+        its feedback mask is zeroed so the final block never sees two
+        conflicting pseudo-observations at the same coordinate."""
         blk = jax.lax.dynamic_slice(order, (0, start), (B, block))  # (B, block)
         xt_blk = jnp.take_along_axis(task_ext.xt, blk[..., None], axis=1)
         aux_blk = (
             jnp.take_along_axis(task_ext.yt_aux, blk[..., None], axis=1)
             if task_ext.yt_aux is not None else None
         )
-        mask_blk = jnp.take_along_axis(task_ext.yt_mask, blk, axis=1)
+        mask_blk = jnp.take_along_axis(task_ext.yt_mask, blk, axis=1) * dup_keep[None, :]
         probe = task_ext.replace(
             xt=xt_blk, yt_aux=aux_blk, yt_mask=mask_blk,
             yt=jnp.zeros((B, block, dy), jnp.float32),
@@ -120,8 +125,9 @@ def ar_sample(
     for s in range(n_samples):
         key = jax.random.fold_in(rng, s)
         korder, kblocks = jax.random.split(key)
-        # random visit order per sample (pad indices repeat the last point
-        # but are masked by yt_mask gathering)
+        # random visit order per sample; pad indices revisit already-sampled
+        # targets — excluded from the output write via `keep` below and
+        # from the AR feedback via `dup_keep` in ar_step
         perm = jax.vmap(lambda k: jax.random.permutation(k, M))(
             jax.random.split(korder, B)
         )
@@ -132,8 +138,12 @@ def ar_sample(
         ))
         for b in range(n_blocks):
             kb = jax.random.fold_in(kblocks, b)
+            dup_keep = np.ones(block, np.float32)
+            if pad and b == n_blocks - 1:
+                dup_keep[block - pad:] = 0.0
             task_ext, sample, blk = ar_step(
-                params, task_ext, order, jnp.asarray(b * block), kb
+                params, task_ext, order, jnp.asarray(b * block),
+                jnp.asarray(dup_keep), kb
             )
             blk_np = np.asarray(blk)
             samp_np = np.asarray(sample)
