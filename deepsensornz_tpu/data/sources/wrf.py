@@ -35,10 +35,27 @@ CYCLE_HOURS = 24  # hours used per cycle after spin-up (6..30)
 class WRFSource:
     """Load WRF forecast cycles from a directory tree of hourly files."""
 
-    def __init__(self, parent: str, model: str = "nz4kmN-ECMWF-SIGMA"):
+    def __init__(
+        self,
+        parent: str,
+        model: str = "nz4kmN-ECMWF-SIGMA",
+        weights_dir: Optional[str] = None,
+    ):
+        """``weights_dir``: directory for on-disk regrid-weight persistence
+        (the reference's ``regridder_weights.parent``, ``wrf.py:252-271``);
+        defaults to ``paths.get_path('regridder_weights')`` when configured,
+        else memory-only caching."""
         self.parent = parent
         self.model = model
         self._regrid_cache: dict[tuple, object] = {}
+        if weights_dir is None:
+            try:
+                from deepsensornz_tpu.paths import get_data_paths
+
+                weights_dir = get_data_paths().get("regridder_weights", {}).get("parent")
+            except Exception:
+                weights_dir = None
+        self.weights_dir = weights_dir
 
     # -- cycle discovery -----------------------------------------------------------
 
@@ -128,6 +145,39 @@ class WRFSource:
 
     # -- regridding -------------------------------------------------------------------
 
+    def _weights_path(self, key: tuple) -> Optional[str]:
+        if not self.weights_dir:
+            return None
+        (sh, nlat, nlon, lat0, lon0) = key
+        name = (
+            f"regrid_{sh[0]}x{sh[1]}_to_{nlat}x{nlon}"
+            f"_{lat0:.4f}_{lon0:.4f}.npz"
+        )
+        return os.path.join(self.weights_dir, name)
+
+    def _load_weights(self, key: tuple):
+        """Load persisted regrid weights (reference persists xESMF weights
+        keyed by grid shapes, ``wrf.py:252-271``) — every operational
+        process would otherwise pay the Delaunay triangulation again."""
+        path = self._weights_path(key)
+        if path is None or not os.path.exists(path):
+            return None
+        try:
+            z = np.load(path)
+            return z["verts"], z["bary"], z["valid"]
+        except Exception:
+            return None  # corrupt cache file → recompute
+
+    def _save_weights(self, key: tuple, verts, bary, valid) -> None:
+        path = self._weights_path(key)
+        if path is None:
+            return
+        os.makedirs(self.weights_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        np.savez_compressed(tmp, verts=verts, bary=bary, valid=valid)
+        # np.savez appends .npz to the tmp name
+        os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)
+
     def regrid_to(self, fld: Field, target_lat: np.ndarray, target_lon: np.ndarray) -> Field:
         """Curvilinear → regular bilinear regrid with cached triangulation.
 
@@ -143,6 +193,10 @@ class WRFSource:
         key = (lat2d.shape, len(target_lat), len(target_lon),
                float(target_lat[0]), float(target_lon[0]))
         if key not in self._regrid_cache:
+            loaded = self._load_weights(key)
+            if loaded is not None:
+                self._regrid_cache[key] = loaded
+        if key not in self._regrid_cache:
             pts = np.column_stack([lat2d.ravel(), lon2d.ravel()])
             tri = Delaunay(pts)
             tg_lat, tg_lon = np.meshgrid(target_lat, target_lon, indexing="ij")
@@ -154,6 +208,7 @@ class WRFSource:
             bary2 = np.einsum("nij,nj->ni", T[:, :2], query - T[:, 2])
             bary = np.column_stack([bary2, 1.0 - bary2.sum(1)])
             self._regrid_cache[key] = (verts, bary, valid)
+            self._save_weights(key, verts, bary, valid)
         verts, bary, valid = self._regrid_cache[key]
 
         data = fld.data.reshape(fld.data.shape[0], -1)

@@ -199,3 +199,35 @@ def test_wrf_corrupt_member_identified(wrf_archive):
         src.load([paths[0], bad, paths[2]], ["temperature"])
     assert "corrupt" in str(e.value)
     os.unlink(bad)
+
+
+def test_wrf_regrid_weights_persisted_to_disk(wrf_archive, tmp_path):
+    """Regrid weights survive the process: a fresh WRFSource loads them from
+    disk instead of re-triangulating (reference persists xESMF weights keyed
+    by grid shapes, wrf.py:252-271)."""
+    root, init = wrf_archive
+    wdir = str(tmp_path / "weights")
+    src = WRFSource(root, weights_dir=wdir)
+    paths = src.get_filepaths(init)[:2]
+    fld = src.load(paths, ["temperature"])["temperature"]
+    target_lat = np.linspace(-46, -35, 10)
+    target_lon = np.linspace(167, 177, 11)
+    g1 = src.regrid_to(fld, target_lat, target_lon)
+    files = os.listdir(wdir)
+    assert len(files) == 1 and files[0].endswith(".npz")
+
+    # a NEW process (fresh source) must load from disk, not recompute
+    src2 = WRFSource(root, weights_dir=wdir)
+    import scipy.spatial as sps
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise AssertionError("Delaunay recomputed despite disk cache")
+
+    orig = sps.Delaunay
+    sps.Delaunay = Boom
+    try:
+        g2 = src2.regrid_to(fld, target_lat, target_lon)
+    finally:
+        sps.Delaunay = orig
+    np.testing.assert_allclose(g1.data, g2.data, atol=1e-6, equal_nan=True)
