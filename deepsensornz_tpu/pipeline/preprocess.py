@@ -412,8 +412,6 @@ def adjust_duplicates(df, jitter: float = 1e-4):
     (``preprocess.py:652-668``)."""
     df = df.copy()
     key = df["latitude"].round(8).astype(str) + "/" + df["longitude"].round(8).astype(str)
-    by_station = df.groupby(["station_name"] if "station_name" in df else ["latitude", "longitude"])
-    seen: dict[str, int] = {}
     # jitter per unique station identity, consistently across its rows
     names = df["station_name"] if "station_name" in df.columns else key
     uniq = {}

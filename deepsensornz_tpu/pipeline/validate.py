@@ -123,6 +123,27 @@ def remove_stations_from_frame(df, station_names: Sequence[str]):
     return df[keep].reset_index(drop=True)
 
 
+def registry_elevation_lookup(max_dist_deg: float = 0.02):
+    """Elevation resolver backed by the shipped station registry
+    (``config.station_registry``): nearest station within ``max_dist_deg``
+    (~2 km), else None."""
+    reg = cfg.station_registry()
+    entries = [
+        (v["latitude"], v["longitude"], v["elevation"])
+        for v in reg.values() if v["elevation"] is not None
+    ]
+    lats = np.asarray([e[0] for e in entries])
+    lons = np.asarray([e[1] for e in entries])
+    elevs = np.asarray([e[2] for e in entries])
+
+    def lookup(lat: float, lon: float):
+        d2 = np.square(lats - lat) + np.square(lons - lon)
+        i = int(np.argmin(d2))
+        return float(elevs[i]) if d2[i] <= max_dist_deg**2 else None
+
+    return lookup
+
+
 class Validate:
     """Research validation against held-out stations (ValidateV1 parity)."""
 
@@ -136,6 +157,18 @@ class Validate:
     @property
     def task_loader(self):
         return self.run["task_loader"]
+
+    def _unnormalise_obs(self, yt: np.ndarray) -> np.ndarray:
+        """Observed (normalised) targets → physical units, through the same
+        affine as predictions (``infer.predict._affine_for``)."""
+        from deepsensornz_tpu.infer.predict import _affine_for
+
+        if self.run["variable"] == "humidity":
+            yt = yt * 2.0 - 1.0  # undo the unit-interval shift first
+        scale, offset = _affine_for(
+            self.run["data_processor"], self.task_loader.target_var_IDs[0]
+        )
+        return yt * scale + offset
 
     def get_predictions(
         self,
@@ -169,21 +202,7 @@ class Validate:
         """Per-station RMSE between predicted mean and observation, in
         physical units (``validate.py:206-317``)."""
         pred = self.get_predictions(dates, remove_stations)
-        dpp = self.run["data_processor"]
-        var_col = self.task_loader.target_var_IDs[0]
-        scale_offset = dpp.config[var_col]
-        p = scale_offset["params"]
-        m = scale_offset["method"]
-        yt = pred["yt"][..., 0]
-        if self.run["variable"] == "humidity":
-            yt = yt * 2.0 - 1.0  # undo the unit-interval shift first
-        if m == "mean_std":
-            obs = yt * p["std"] + p["mean"]
-        elif m == "positive_semidefinite":
-            obs = yt * p["std"]
-        else:
-            span = p["max"] - p["min"]
-            obs = (yt + 1) / 2 * span + p["min"]
+        obs = self._unnormalise_obs(pred["yt"][..., 0])
         mask = pred["mask"]
         err = np.where(mask, pred["mean"] - obs, np.nan)
         overall = float(np.sqrt(np.nanmean(err**2)))
@@ -194,7 +213,67 @@ class Validate:
             "errors": err,
             "pred_mean": pred["mean"],
             "obs": np.where(mask, obs, np.nan),
+            "xt": pred["xt"],
         }
+
+    def elevation_band_errors(
+        self,
+        dates,
+        remove_stations: Sequence[str] = (),
+        bands: Sequence[tuple] = (
+            ("Low (<500m)", None, 500.0),
+            ("Mid (500m - 1000m)", 500.0, 1000.0),
+            ("High (>1000m)", 1000.0, None),
+        ),
+        elevation_lookup=None,
+        errors: Optional[np.ndarray] = None,
+        xt: Optional[np.ndarray] = None,
+    ) -> dict:
+        """Per-station RMSE grouped by station elevation band — elevation is
+        the core covariate of a downscaler, and this is the reference's
+        strongest model diagnostic (``validation_notebook.py:721-778``).
+
+        ``elevation_lookup(lat, lon) -> float|None`` resolves a station's
+        elevation; the default matches the nearest entry of the shipped
+        station registry (``config.station_registry``) within ~2 km.
+        ``errors``/``xt`` let callers band a precomputed error set (e.g. a
+        baseline's) instead of re-predicting.
+
+        Returns ``{"bands": {label: [per-station rmse]}, "stations":
+        {(lat, lon): {"rmse", "elevation", "band"}}}``.
+        """
+        if errors is None or xt is None:
+            loss = self.calculate_loss(dates, remove_stations)
+            errors, xt = loss["errors"], loss["xt"]
+        if elevation_lookup is None:
+            elevation_lookup = registry_elevation_lookup()
+        dp = self.run["data_processor"]
+        lat = np.asarray(dp.unmap_x1(xt[..., 0]))
+        lon = np.asarray(dp.unmap_x2(xt[..., 1]))
+
+        # group target slots into stations by (rounded) coordinate identity
+        per_station: dict[tuple, list] = {}
+        flat_err = np.asarray(errors).ravel()
+        keys = np.stack([lat.ravel().round(4), lon.ravel().round(4)], -1)
+        for k, e in zip(map(tuple, keys), flat_err):
+            if np.isfinite(e):
+                per_station.setdefault(k, []).append(e)
+
+        band_errs = {label: [] for label, _, _ in bands}
+        stations = {}
+        for (la, lo), errs in per_station.items():
+            elev = elevation_lookup(la, lo)
+            if elev is None:
+                continue
+            st_rmse = float(np.sqrt(np.mean(np.square(errs))))
+            for label, lo_e, hi_e in bands:
+                if (lo_e is None or elev >= lo_e) and (hi_e is None or elev < hi_e):
+                    band_errs[label].append(st_rmse)
+                    stations[(la, lo)] = {
+                        "rmse": st_rmse, "elevation": float(elev), "band": label,
+                    }
+                    break
+        return {"bands": band_errs, "stations": stations}
 
     def calculate_loss_base(self, base_field: Field, station_df) -> dict:
         """Baseline: raw base field (ERA5) sampled at station locations vs
@@ -227,21 +306,7 @@ class Validate:
         it is a quantitative diagnostic.
         """
         pred = self.get_predictions(dates, remove_stations)
-        loss = None
-        dpp = self.run["data_processor"]
-        var_col = self.task_loader.target_var_IDs[0]
-        p = dpp.config[var_col]["params"]
-        m = dpp.config[var_col]["method"]
-        yt = pred["yt"][..., 0]
-        if self.run["variable"] == "humidity":
-            yt = yt * 2.0 - 1.0
-        if m == "mean_std":
-            obs = yt * p["std"] + p["mean"]
-        elif m == "positive_semidefinite":
-            obs = yt * p["std"]
-        else:
-            span = p["max"] - p["min"]
-            obs = (yt + 1) / 2 * span + p["min"]
+        obs = self._unnormalise_obs(pred["yt"][..., 0])
         mask = pred["mask"]
         z = np.where(mask, (obs - pred["mean"]) / np.maximum(pred["std"], 1e-9), np.nan)
         zf = z[np.isfinite(z)]
@@ -267,13 +332,25 @@ class Validate:
 class ValidateERA:
     """Operational gridded ERA5 inference (``validate_ERA.py``)."""
 
-    def __init__(self, model_dir: str, dem: Field, highres_factor: int = 10):
-        self.run = load_run(model_dir)
+    def __init__(
+        self,
+        model_dir: Optional[str] = None,
+        dem: Optional[Field] = None,
+        highres_factor: int = 10,
+        *,
+        run: Optional[dict] = None,
+        pred_grid: Optional[Field] = None,
+        predictor: Optional[Predictor] = None,
+    ):
+        """Load from ``model_dir``, or reuse an already-loaded ``run`` (and
+        optionally its ``pred_grid``/``predictor`` — the WRF cycle shares
+        them instead of re-jitting)."""
+        self.run = run or load_run(model_dir)
         self.dem = dem
         # prediction grid = raw DEM coarsened by the training highres factor
         # + sea mask from its NaNs (validate_ERA.py:48-57)
-        self.pred_grid = dem.coarsen(highres_factor)
-        self.predictor = Predictor(
+        self.pred_grid = pred_grid if pred_grid is not None else dem.coarsen(highres_factor)
+        self.predictor = predictor or Predictor(
             self.run["model"], self.run["params"], self.run["data_processor"],
             self.run["task_loader"].target_var_IDs[0],
         )
@@ -373,10 +450,13 @@ class ValidateWRF:
         self.dem = dem
         self.pred_grid = dem.coarsen(coarsen_factor)
         self.coarsen_factor = coarsen_factor
-        self.predictor = Predictor(
-            self.run["model"], self.run["params"], self.run["data_processor"],
-            self.run["task_loader"].target_var_IDs[0],
+        # the gridded predict path is identical to the ERA5 one once the
+        # forecast fields are regridded — share a properly-constructed
+        # ValidateERA (and its jitted predictor) instead of duplicating it
+        self._era = ValidateERA(
+            run=self.run, dem=dem, pred_grid=self.pred_grid
         )
+        self.predictor = self._era.predictor
 
     def predict(
         self,
@@ -401,12 +481,7 @@ class ValidateWRF:
                 g = g.copy(g.data - 273.15)
             base_fields[v] = g
         times = base_fields[var].coords["time"]
-        era_like = ValidateERA.__new__(ValidateERA)
-        era_like.run = self.run
-        era_like.dem = self.dem
-        era_like.pred_grid = self.pred_grid
-        era_like.predictor = self.predictor
-        return era_like.predict(
+        return self._era.predict(
             times, base_fields, station_df=station_df,
             remove_stations=remove_stations,
         )
