@@ -6,13 +6,38 @@ names, per-data-source name maps, per-variable likelihood and normalisation
 method, geographic extents, named locations, and ConvNP defaults.
 
 The reference additionally hard-codes a 619-entry station registry
-(``config.py:208-2683``); here that registry is *built* from the station
-archive on disk (see :func:`deepsensornz_tpu.data.sources.stations.build_station_registry`)
-and cached as JSON — the reference generated its table the same way
+(``config.py:208-2683``). A generated equivalent ships as
+``data/station_registry.json`` (loaded lazily by :func:`station_registry`)
+so holdout lists and plots work without the raw archive; when an archive IS
+available, :meth:`deepsensornz_tpu.data.sources.stations.StationSource.build_registry`
+regenerates it — the reference produced its table the same way
 (``stations.py:181-214``).
 """
 
 from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+_STATION_REGISTRY: Optional[dict] = None
+
+
+def station_registry() -> dict:
+    """name → {station_id, latitude, longitude, elevation} for the ~619 NZ
+    stations (parity: ``STATION_LATLON``, ``config.py:208-2683``).
+
+    Loads the shipped ``data/station_registry.json`` artifact on first use;
+    ``elevation`` may be None for the two stations the archive lacks it for.
+    """
+    global _STATION_REGISTRY
+    if _STATION_REGISTRY is None:
+        path = os.path.join(
+            os.path.dirname(__file__), "data", "station_registry.json"
+        )
+        with open(path) as f:
+            _STATION_REGISTRY = json.load(f)
+    return _STATION_REGISTRY
 
 # Canonical variable names used throughout the framework.
 VARIABLE_OPTIONS = (

@@ -10,6 +10,8 @@ setup(
         "Zealand (JAX/XLA/Pallas)"
     ),
     packages=find_packages(exclude=("tests", "tests.*")),
+    package_data={"deepsensornz_tpu": ["data/station_registry.json"]},
+    include_package_data=True,
     python_requires=">=3.10",
     install_requires=[
         "jax",

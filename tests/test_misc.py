@@ -125,3 +125,24 @@ def test_profile_trace_writes_dir(tmp_path):
         _ = jnp.ones((64, 64)) @ jnp.ones((64, 64))
     assert os.path.isdir(d)
     assert any(os.scandir(d))
+
+
+def test_shipped_station_registry():
+    """The generated station registry ships with the package (parity with
+    the reference's vendored STATION_LATLON, config.py:208-2683) so holdout
+    lists and plots work without the raw archive."""
+    from deepsensornz_tpu.config import station_registry
+
+    reg = station_registry()
+    assert len(reg) == 619
+    import numpy as np
+
+    for name, v in reg.items():
+        assert set(v) == {"station_id", "latitude", "longitude", "elevation"}
+        assert -48.5 < v["latitude"] < -34.0
+        assert 166.0 < v["longitude"] < 179.0
+        assert v["elevation"] is None or -5.0 <= v["elevation"] <= 3000.0
+    # well-known entries resolve
+    assert any("WELLINGTON" in n for n in reg)
+    # second call returns the cached object
+    assert station_registry() is reg
