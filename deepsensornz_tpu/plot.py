@@ -221,6 +221,178 @@ def gen_test_fig(
     return fig
 
 
+def _resolve_location(location):
+    """str city name (``LOCATION_LATLON``, ``config.py:181-205``) or
+    (lat, lon) tuple → (lat, lon) (``_get_location_coordinates``,
+    ``validate.py:1152-1165``)."""
+    if isinstance(location, str):
+        from deepsensornz_tpu import config as _cfg
+
+        return tuple(_cfg.LOCATION_LATLON[location])
+    return tuple(location)
+
+
+def _zoom_extent(location, pad: float = 2.0):
+    lat, lon = _resolve_location(location)
+    return (lat - pad, lat + pad), (lon - pad, min(lon + pad, 180.0))
+
+
+def _sel_window(obj, lat_rng, lon_rng):
+    """Label-window selection agnostic to coordinate direction (NZ grids
+    store latitude descending)."""
+    f = obj if isinstance(obj, Field) else next(iter(obj.values()))
+    lat_c = f.coords["latitude"]
+    lon_c = f.coords["longitude"]
+    lat_sl = slice(*(lat_rng if lat_c[0] <= lat_c[-1] else lat_rng[::-1]))
+    lon_sl = slice(*(lon_rng if lon_c[0] <= lon_c[-1] else lon_rng[::-1]))
+    return obj.sel(latitude=lat_sl, longitude=lon_sl)
+
+
+def plot_stations_and_prediction(
+    prediction: Dataset,
+    station_lats: np.ndarray,
+    station_lons: np.ndarray,
+    station_values: np.ndarray,
+    base_field: Optional[Field] = None,
+    time_idx: int = 0,
+    cmap: Optional[str] = None,
+    variable: str = "",
+):
+    """Three-panel comparison: station obs scatter / ConvNP mean / base
+    field, on a shared colour scale taken from the station values
+    (``plot_stations_and_prediction``, ``validate.py:638-707``)."""
+    cmap = cmap or ("viridis" if "precip" in variable else "coolwarm")
+    vmin = float(np.nanmin(station_values))
+    vmax = float(np.nanmax(station_values))
+    n = 3 if base_field is not None else 2
+    fig, axes = plt.subplots(1, n, figsize=(6 * n, 7))
+    sc = axes[0].scatter(station_lons, station_lats, c=station_values,
+                         cmap=cmap, marker="o", edgecolor="k", linewidth=0.5,
+                         s=60, vmin=vmin, vmax=vmax)
+    fig.colorbar(sc, ax=axes[0], shrink=0.8)
+    axes[0].set_title("Stations")
+    axes[0].set_xlabel("longitude")
+    axes[0].set_ylabel("latitude")
+    mean = prediction["mean"].isel(time=time_idx)
+    plot_field(mean, axes[1], "ConvNP mean", cmap=cmap, vmin=vmin, vmax=vmax)
+    if base_field is not None:
+        f = base_field.isel(time=time_idx) if "time" in base_field.dims else base_field
+        plot_field(f, axes[2], "base (ERA5)", cmap=cmap, vmin=vmin, vmax=vmax)
+    fig.tight_layout()
+    return fig
+
+
+def plot_base_and_prediction(
+    base_field: Field,
+    prediction: Dataset,
+    time_idx: int = 0,
+    location=None,
+    var_label: str = "",
+    std_clim: tuple = (None, 5.0),
+):
+    """Base field / ConvNP mean / ConvNP std panels with optional ±2° zoom
+    around a named city or (lat, lon), marked on each panel
+    (``plot_ERA5_and_prediction``, ``validate.py:711-798``)."""
+    base = base_field.isel(time=time_idx) if "time" in base_field.dims else base_field
+    mean = prediction["mean"].isel(time=time_idx)
+    std = prediction["std"].isel(time=time_idx)
+    if location is not None:
+        lat_rng, lon_rng = _zoom_extent(location)
+        base = _sel_window(base, lat_rng, lon_rng)
+        mean = _sel_window(mean, lat_rng, lon_rng)
+        std = _sel_window(std, lat_rng, lon_rng)
+    vmin = float(min(np.nanmin(base.data), np.nanmin(mean.data)))
+    vmax = float(max(np.nanmax(base.data), np.nanmax(mean.data)))
+    fig, axes = plt.subplots(1, 3, figsize=(18, 7))
+    plot_field(base, axes[0], f"base (ERA5) {var_label}", cmap="RdYlBu_r",
+               vmin=vmin, vmax=vmax)
+    plot_field(mean, axes[1], f"ConvNP mean {var_label}", cmap="RdYlBu_r",
+               vmin=vmin, vmax=vmax)
+    plot_field(std, axes[2], "ConvNP std", cmap="Greys_r",
+               vmin=std_clim[0], vmax=std_clim[1])
+    if location is not None:
+        lat, lon = _resolve_location(location)
+        for ax in axes:
+            ax.scatter([lon], [lat], marker="s", s=100, facecolors="none",
+                       edgecolors="black", linewidth=2)
+    fig.tight_layout()
+    return fig
+
+
+def plot_prediction_with_stations(
+    prediction: Dataset,
+    station_lats: np.ndarray,
+    station_lons: np.ndarray,
+    time_idx: int = 0,
+    location=None,
+    zoom_to_location: bool = False,
+    labels: Optional[dict] = None,
+):
+    """Prediction-mean map with the station network overlaid in red,
+    optional location star/zoom and per-station text labels
+    (``plot_prediction_with_stations``, ``validate.py:800-860``)."""
+    mean = prediction["mean"].isel(time=time_idx)
+    if location is not None and zoom_to_location:
+        mean = _sel_window(mean, *_zoom_extent(location))
+    fig, ax = plt.subplots(figsize=(9, 10))
+    plot_field(mean, ax, "ConvNP mean", cmap="jet")
+    ax.scatter(station_lons, station_lats, color="red", marker=".",
+               s=60 if location is not None else 36)
+    if location is not None:
+        lat, lon = _resolve_location(location)
+        ax.scatter([lon], [lat], color="black", marker="*", s=200)
+    if labels:
+        for (lat, lon), text in labels.items():
+            ax.text(float(lon), float(lat), str(text), fontsize=8)
+    if location is not None and zoom_to_location:
+        (lat_lo, lat_hi), (lon_lo, lon_hi) = _zoom_extent(location)
+        ax.set_xlim(lon_lo, lon_hi)
+        ax.set_ylim(lat_lo, lat_hi)
+    fig.tight_layout()
+    return fig
+
+
+def plot_elevation_band_errors(
+    band_errors: dict,
+    baseline_band_errors: Optional[dict] = None,
+    ylabel: str = "RMSE",
+    model_label: str = "ConvNP",
+    baseline_label: str = "ERA5",
+):
+    """Paired boxplots of per-station RMSE by elevation band — the
+    reference's strongest model diagnostic (violin/box error distributions
+    by elevation band, ``validation_notebook.py:721-778``).
+
+    ``band_errors``: {band label → list of per-station RMSEs} (from
+    ``Validate.elevation_band_errors``)."""
+    fig, ax = plt.subplots(figsize=(8, 5))
+    bands = list(band_errors)
+    positions = np.arange(1, len(bands) + 1, dtype=float)
+    box1 = ax.boxplot(
+        [band_errors[b] for b in bands], positions=positions, widths=0.35,
+        patch_artist=True, boxprops=dict(facecolor="lightblue"),
+    )
+    handles = [box1["boxes"][0]]
+    names = [model_label]
+    if baseline_band_errors is not None:
+        box2 = ax.boxplot(
+            [baseline_band_errors.get(b, []) for b in bands],
+            positions=positions + 0.4, widths=0.35,
+            patch_artist=True, boxprops=dict(facecolor="darkblue"),
+        )
+        handles.append(box2["boxes"][0])
+        names.append(baseline_label)
+        ax.set_xticks(positions + 0.2)
+    else:
+        ax.set_xticks(positions)
+    ax.set_xticklabels(bands)
+    ax.legend(handles, names, loc="upper left")
+    ax.set_xlabel("Elevation (m)")
+    ax.set_ylabel(ylabel)
+    fig.tight_layout()
+    return fig
+
+
 def make_loss_plot(train_losses: Sequence[float], val_losses: Sequence[float],
                    path: Optional[str] = None):
     """Loss curves (``make_loss_plot``, ``train.py:513-522``)."""

@@ -175,3 +175,47 @@ def test_hourly_time_of_year():
         include_time_of_year=True, time_of_year_freq="H",
     )
     assert "cos_H" in out["base_ds"] and "sin_H" in out["base_ds"]
+
+
+def test_combined_map_panels(tmp_path):
+    """The three combined panels from the reference plotting suite
+    (validate.py:638-860): stations+prediction, base+prediction(+zoom),
+    prediction-with-station-overlay."""
+    import matplotlib
+
+    from deepsensornz_tpu.data.grid import Dataset, Field
+    from deepsensornz_tpu.plot import (
+        plot_base_and_prediction,
+        plot_prediction_with_stations,
+        plot_stations_and_prediction,
+    )
+
+    lat = np.linspace(-34, -47, 20)
+    lon = np.linspace(166, 178, 24)
+    t = np.array([np.datetime64("2020-01-01")])
+    rng = np.random.default_rng(0)
+    mk = lambda name: Field(rng.random((1, 20, 24)), ("time", "latitude", "longitude"),
+                            {"time": t, "latitude": lat, "longitude": lon}, name)
+    pred = Dataset({"mean": mk("mean"), "std": mk("std")})
+    base = mk("t2m")
+    st_lat = rng.uniform(-46, -35, 8)
+    st_lon = rng.uniform(167, 177, 8)
+    st_val = rng.random(8)
+
+    fig1 = plot_stations_and_prediction(pred, st_lat, st_lon, st_val, base_field=base)
+    assert len(fig1.axes) >= 3
+    fig1.savefig(tmp_path / "p1.png")
+
+    # named-city zoom resolves through LOCATION_LATLON (config.py:181-205)
+    fig2 = plot_base_and_prediction(base, pred, location="wellington")
+    fig2.savefig(tmp_path / "p2.png")
+    fig2b = plot_base_and_prediction(base, pred)  # nationwide
+
+    fig3 = plot_prediction_with_stations(
+        pred, st_lat, st_lon, location=(-41.3, 174.8), zoom_to_location=True,
+        labels={(-41.3, 174.8): "0.42"},
+    )
+    fig3.savefig(tmp_path / "p3.png")
+    for p in ("p1.png", "p2.png", "p3.png"):
+        assert (tmp_path / p).exists()
+    matplotlib.pyplot.close("all")
