@@ -34,17 +34,26 @@ def initialize_multihost(
     environments usually auto-detect and need no arguments).
 
     Returns {process_index, process_count, local_devices, global_devices}.
+
+    NOTE: must run before anything initialises the XLA backend —
+    ``jax.distributed.initialize`` rejects late calls, so this function
+    deliberately touches no device API until after initialisation.
     """
-    if jax.process_count() == 1 and (
-        coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
-    ):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address
-            or os.environ.get("COORDINATOR_ADDRESS"),
-            num_processes=num_processes
-            or int(os.environ.get("NUM_PROCESSES", "1")),
-            process_id=process_id or int(os.environ.get("PROCESS_ID", "0")),
-        )
+    addr = coordinator_address or os.environ.get("COORDINATOR_ADDRESS")
+    if addr:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=addr,
+                num_processes=num_processes
+                or int(os.environ.get("NUM_PROCESSES", "1")),
+                process_id=process_id
+                if process_id is not None
+                else int(os.environ.get("PROCESS_ID", "0")),
+            )
+        except RuntimeError as e:
+            # idempotent re-init is fine; a too-late call is the caller's bug
+            if "already" not in str(e):
+                raise
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
