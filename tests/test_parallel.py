@@ -129,3 +129,62 @@ def test_multihost_helpers_single_process():
     assert per == 16 and off == 0
     with pytest.raises(ValueError):
         make_global_mesh(n_spatial=3)
+
+
+def test_spatial_sharding_equivalence_density256():
+    """Flagship-style spatial sharding at density ≥256 with n_spatial=4:
+    loss AND gradients of the sharded step must match single-device within
+    f32 tolerance (the halo-exchange partitioning is semantics-free)."""
+    base, dem, stations = synthetic_bundle(
+        n_times=2, base_hw=(16, 16), dem_hw=(48, 48), n_stations=16
+    )
+    dp = DataProcessor()
+    dp.set_coord_maps_from_extent(
+        dem.coords["latitude"].min(), dem.coords["latitude"].max(),
+        dem.coords["longitude"].min(), dem.coords["longitude"].max(),
+    )
+    tl = TaskLoader(
+        context=[dp(base, method="mean_std"), dp(stations, method="mean_std")],
+        target=dp(stations),
+        aux_at_targets=dp(dem.fillna(0.0).rename("elevation"), method="min_max"),
+        internal_density=256, grid_multiple=16,
+    )
+    import dataclasses
+
+    cfg = ConvNPConfig(
+        unet_channels=(8, 8, 8, 8), likelihood="gnp", rank=64,
+        internal_density=256, decoder_channels=8, mlp_hidden=8,
+        compute_dtype="float32", mesh_axes=(DATA_AXIS, SPATIAL_AXIS),
+    )
+    model_mesh = ConvNP(cfg)
+    # identical model without the sharding constraint for the single-device
+    # reference (params pytrees are identical)
+    model = ConvNP(dataclasses.replace(cfg, mesh_axes=None))
+    task = tl(list(base.coords["time"][:2]))
+    assert len(np.asarray(task.x1g)) >= 320  # density 256 over the margin-padded extent
+
+    params = model.init(jax.random.key(0), task)
+    loss_single, grads_single = jax.value_and_grad(model.loss)(params, task)
+
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    sharded = shard_task(task, mesh)
+    with jax.set_mesh(mesh):
+        loss_mesh, grads_mesh = jax.jit(jax.value_and_grad(model_mesh.loss))(
+            params, sharded)
+        loss_mesh = float(loss_mesh)
+
+    assert loss_mesh == pytest.approx(float(loss_single), rel=2e-5)
+    flat_s = jax.tree_util.tree_leaves_with_path(grads_single)
+    flat_m = jax.tree.leaves(grads_mesh)
+    worst = 0.0
+    for (path, gs), gm in zip(flat_s, flat_m):
+        gs, gm = np.asarray(gs), np.asarray(gm)
+        scale = max(float(np.abs(gs).max()), 1e-8)
+        diff = float(np.abs(gs - gm).max()) / scale
+        worst = max(worst, diff)
+        np.testing.assert_allclose(
+            gm, gs, rtol=5e-4, atol=5e-5 * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
+    print(f"sharded-vs-unsharded: loss diff {abs(loss_mesh - float(loss_single)):.2e}, "
+          f"worst relative grad diff {worst:.2e}")
