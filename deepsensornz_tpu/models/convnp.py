@@ -56,7 +56,11 @@ class ConvNPConfig:
     mlp_hidden: int = 64
     mlp_layers: int = 1
     kernel_size: int = 5
-    upsample: str = "transpose"   # U-Net up-path: "transpose" | "nearest"
+    # U-Net up-path: "transpose" (default; XLA's transpose-conv expansion
+    # measured FASTER in-model than the mathematically-identical "subpixel"
+    # parity-split lowering — 0.128 s vs 0.141 s full cycle — because the
+    # depth-to-space interleave breaks fusion) | "subpixel" | "nearest"
+    upsample: str = "transpose"
     compute_dtype: str = "bfloat16"   # U-Net compute precision
     sigmoid_output: bool = False  # ConvNP_sigmoid parity (train.py:639-655)
     # (batch_axis, spatial_axis) mesh-axis names for SPMD sharding of the

@@ -19,15 +19,87 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+def _subpixel_up(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose(k odd, stride 2, SAME) as ONE small conv + depth-to-space.
+
+    Exact reparameterisation (verified bit-level in f32 against
+    ``lax.conv_transpose``): XLA lowers transpose convs by dilating the
+    input with zeros, so ~75% of the MXU work multiplies zeros (measured on
+    v5e: k5 convT 4× the useful FLOPs). Splitting the kernel by output
+    parity gives a ⌈k/2⌉-tap conv producing all 4 sub-pixels as channels —
+    same parameters (a (k,k,Cin,Cout) ConvTranspose kernel), ~2.8× fewer
+    executed FLOPs, and 4·Cout output channels fill the 128-wide MXU lanes.
+
+    Derivation: out[Y] = Σ_dy x[(Y+dy−P)/2]·W[dy] with P = (k+1)//2 for
+    SAME (taps where the dilated index lands on a real input pixel; P
+    verified numerically for k ∈ {3,5,7}); parity p = Y mod 2 selects
+    dy ≡ (P−p) (mod 2).
+    """
+    import numpy as np
+
+    k = kernel.shape[0]
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    P = (k + 1) // 2
+    offs = {
+        p: [(d, (p + d - P) // 2) for d in range(k) if (p + d - P) % 2 == 0]
+        for p in (0, 1)
+    }
+    omin = min(o for v in offs.values() for _, o in v)
+    omax = max(o for v in offs.values() for _, o in v)
+    m = omax - omin + 1
+    # constant one-hot map (k,k → m,m,2,2): ONE einsum rearranges the
+    # stored ConvTranspose kernel into the parity-split form (a loop of
+    # scatters here measurably slowed the whole cycle)
+    sel = np.zeros((k, k, m, m, 2, 2), kernel.dtype)
+    for p in (0, 1):
+        for q in (0, 1):
+            for dy, oy in offs[p]:
+                for dx, ox in offs[q]:
+                    sel[dy, dx, oy - omin, ox - omin, p, q] = 1.0
+    w4 = jnp.einsum("yxio,yxabpq->abipqo", kernel, jnp.asarray(sel))
+    w4 = w4.reshape(m, m, cin, 4 * cout)
+    y = jax.lax.conv_general_dilated(
+        x, w4.astype(x.dtype), (1, 1),
+        ((-omin, omax), (-omin, omax)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    B, H, W, _ = y.shape
+    y = y.reshape(B, H, W, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, 2 * H, 2 * W, cout) + bias.astype(y.dtype)
+
+
+class _SubpixelUp(nn.Module):
+    """Drop-in ConvTranspose(features, k, s2, SAME) with IDENTICAL parameter
+    names/shapes (kernel (k,k,Cin,Cout) + bias) — checkpoints trained with
+    either lowering load into the other."""
+
+    features: int
+    kernel_size: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return _subpixel_up(x.astype(self.dtype), kernel.astype(self.dtype), bias)
 
 
 class UNet(nn.Module):
     """Stride-2 conv U-Net. Input/output: (B, H, W, C) NHWC.
 
-    ``upsample``: "transpose" (ConvTranspose, neuralprocesses-style) or
-    "nearest" (2× nearest-neighbour repeat + regular conv) — the latter
-    avoids the dilated-input lowering of transpose convs on TPU.
+    ``upsample``: "subpixel" (default-recommended: the exact ConvTranspose
+    math via parity-split kernels — no dilated-input lowering, measured
+    faster on v5e and checkpoint-compatible with "transpose"), "transpose"
+    (ConvTranspose, neuralprocesses-style), or "nearest" (2× repeat +
+    conv — a different model, kept for parity experiments).
     """
 
     channels: Sequence[int] = (64, 64, 64, 64)
@@ -60,6 +132,8 @@ class UNet(nn.Module):
             if self.upsample == "nearest":
                 x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
                 x = nn.Conv(ch, k, padding="SAME", dtype=dt, name=f"up_{i}")(x)
+            elif self.upsample == "subpixel":
+                x = _SubpixelUp(ch, self.kernel_size, dtype=dt, name=f"up_{i}")(x)
             else:
                 x = nn.ConvTranspose(ch, k, strides=(2, 2), padding="SAME", dtype=dt,
                                      name=f"up_{i}")(x)

@@ -153,8 +153,10 @@ def train_epoch(model, state: TrainState, tasks: TaskBatch, batch_size: int = 8,
     for sel in _batches(idx, batch_size):
         batch = _take_padded(tasks, sel, batch_size)
         state, loss = step_fn(state, batch, lr)
-        losses.append(float(loss))
-    return state, losses
+        losses.append(loss)  # device array: no per-step host sync
+    # fetch once at epoch end — steps pipeline on device (matters through
+    # remote-device tunnels where every sync costs a round trip)
+    return state, [float(l) for l in losses]
 
 
 def make_eval_step(model) -> Callable:
@@ -291,7 +293,9 @@ class Trainer:
             for sel in _batches(idx, batch_size):
                 batch = _take_padded(train_tasks, sel, batch_size)
                 state, loss = self.train_step(state, batch, lr)
-                losses.append(float(loss))
+                losses.append(loss)  # device array: steps pipeline without
+                # a per-step host round trip (epoch-end fetch below)
+            losses = [float(l) for l in losses]
             finite = [l for l in losses if np.isfinite(l)]  # NaN filter (train.py:395)
             train_loss = float(np.mean(finite)) if finite else np.nan
             train_losses.append(train_loss)

@@ -74,14 +74,36 @@ def main(batch=8, internal_density=500, n_stations=512, n_targets=512,
         sync(loss)
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
+
+    # pipelined throughput: K steps, ONE fetch — how the Trainer actually
+    # runs an epoch (losses fetched at epoch end), and the honest
+    # tasks/s/chip figure when the host↔device round trip is off the
+    # critical path (the relay adds ~30 ms per sync here)
+    K = 10
+    t0 = time.perf_counter()
+    for _ in range(K):
+        state, loss = step(state, task, 5e-5)
+    sync(loss)
+    pipelined = (time.perf_counter() - t0) / K
+
     print(json.dumps({
         "metric": "train_tasks_per_sec_flagship",
-        "value": round(batch / p50, 1),
+        "value": round(batch / pipelined, 1),
         "unit": "tasks/s",
         "step_p50_s": round(p50, 4),
+        "step_pipelined_s": round(pipelined, 4),
+        "tasks_per_sec_synced": round(batch / p50, 1),
+        "batch": batch,
         "final_loss": sync(loss),
     }))
+    return batch / pipelined
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1:
+        for b in [int(x) for x in sys.argv[1:]]:
+            main(batch=b)
+    else:
+        main()

@@ -164,3 +164,37 @@ def test_gnp_mean_anchor_default_on():
     # explicit values still win
     assert ConvNPConfig(likelihood="gnp", mean_anchor=0.0).anchor_weight() == 0.0
     assert ConvNPConfig(likelihood="cnp", mean_anchor=0.5).anchor_weight() == 0.5
+
+
+def test_subpixel_upsample_exactly_matches_transpose():
+    """The subpixel up-path is the SAME model as ConvTranspose: identical
+    parameter tree, f32 outputs equal to rounding, so checkpoints trained
+    with either lowering load into the other."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepsensornz_tpu.models.unet import UNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 7)).astype(np.float32))
+    for k in (3, 5):
+        a = UNet(channels=(8, 8), out_channels=8, kernel_size=k,
+                 compute_dtype=jnp.float32, upsample="transpose")
+        b = UNet(channels=(8, 8), out_channels=8, kernel_size=k,
+                 compute_dtype=jnp.float32, upsample="subpixel")
+        pa = a.init(jax.random.key(0), x)
+        pb = b.init(jax.random.key(1), x)
+        # identical parameter trees (names AND shapes)
+        sa = jax.tree.map(lambda v: v.shape, pa)
+        sb = jax.tree.map(lambda v: v.shape, pb)
+        assert sa == sb
+        # same params -> same outputs (checkpoint interchange both ways)
+        np.testing.assert_allclose(
+            np.asarray(a.apply(pa, x)), np.asarray(b.apply(pa, x)),
+            atol=2e-6, rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.apply(pb, x)), np.asarray(a.apply(pb, x)),
+            atol=2e-6, rtol=1e-5,
+        )
