@@ -297,6 +297,48 @@ class Validate:
             "n": len(errs),
         }
 
+    def per_station_loss_base(self, base_field: Field, station_df, dates=None) -> dict:
+        """Per-station |error| statistics of a base field sampled at the
+        stations — the reference's ``calculate_loss_era5`` reporting
+        (``validate.py:319-351``; HiRes-ERA5 study
+        ``validation_notebook.py:862-908``): per-location daily abs errors,
+        then the across-station mean of means and mean of stds.
+
+        Used both for the raw (lowres) base baseline and for a
+        higher-resolution base product (the notebook's HiRes ERA5): pass the
+        HiRes field as ``base_field`` to reproduce that study.
+        """
+        col = [c for c in station_df.columns if c.endswith("_station")][0]
+        if dates is not None:
+            # compare at ns resolution: datetime64 equality/hashing is
+            # unit-sensitive (a [D] and [ns] stamp of the same instant differ)
+            want = {np.datetime64(d, "ns").astype(np.int64) for d in dates}
+            station_df = station_df[[
+                np.datetime64(t, "ns").astype(np.int64) in want
+                for t in station_df["time"]]]
+        per: dict[tuple, list] = {}
+        for t, grp in station_df.groupby("time"):
+            try:
+                sl = base_field.sel(time=np.datetime64(t), method="nearest")
+            except Exception:
+                continue
+            for _, row in grp.iterrows():
+                v = sl.sel(latitude=row["latitude"], longitude=row["longitude"],
+                           method="nearest")
+                if np.isfinite(v.data) and np.isfinite(row[col]):
+                    k = (round(float(row["latitude"]), 5),
+                         round(float(row["longitude"]), 5))
+                    per.setdefault(k, []).append(abs(float(v.data) - float(row[col])))
+        stats = {k: (float(np.mean(e)), float(np.std(e))) for k, e in per.items()}
+        means = [m for m, _ in stats.values()]
+        stds = [s for _, s in stats.values()]
+        return {
+            "per_station": stats,
+            "mean_of_means": float(np.mean(means)) if means else np.nan,
+            "mean_of_stds": float(np.mean(stds)) if stds else np.nan,
+            "n_stations": len(stats),
+        }
+
     def calibration_stats(self, dates, remove_stations: Sequence[str] = ()) -> dict:
         """Uncertainty calibration at stations: z-score moments + CI coverage.
 

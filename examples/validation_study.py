@@ -86,6 +86,19 @@ def main(out_dir="/tmp/validation_study"):
         errs.append(coef[0] * float(cell.data) + coef[1] - float(row[col]))
     print(f"regression-corrected baseline RMSE: {np.sqrt(np.mean(np.square(errs))):.3f}")
 
+    # HiRes-base baseline study (validation_notebook.py:862-908): per-station
+    # |error| stats of an alternative, higher-resolution base product —
+    # here the base bilinearly refined to 2× resolution (the notebook loads
+    # a HiRes ERA5 product); reported as mean-of-means / mean-of-stds
+    # across stations, same as the notebook printout.
+    hires = base.interp_like(dem.coarsen(2), method="linear",
+                             dims=("latitude", "longitude"))
+    hr = v.per_station_loss_base(hires, sel)
+    lr = v.per_station_loss_base(base, sel)
+    print(f"HiRes-base baseline: mean|err| {hr['mean_of_means']:.3f} "
+          f"(std {hr['mean_of_stds']:.3f}, {hr['n_stations']} stations) "
+          f"vs lowres base {lr['mean_of_means']:.3f}")
+
     # daily loss curve over the evaluation window
     daily = {str(t)[:10]: v.calculate_loss([t])["rmse"] for t in eval_times}
     print("daily RMSE:", {k: round(x, 3) for k, x in daily.items()})

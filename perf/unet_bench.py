@@ -1,18 +1,14 @@
 """U-Net op-level microbenchmark on the TPU (round-2 perf attack).
 
-The flagship cycle is dominated by the U-Net on the 608² internal grid
-(~100 ms of the 128 ms cycle at B=24, round-1 finding). This bench times
-the candidate formulations of the hot ops so the model lowering can follow
-the numbers:
+The flagship cycle is dominated by the U-Net on the 608² internal grid.
+This bench times candidate formulations of the hot ops so the model
+lowering can follow the numbers.
 
-- conv_transpose k5 s2 (current up-path) vs the sub-pixel equivalent
-  (k3 conv to 4·C channels + depth-to-space — same math, no input dilation),
-- stride-2 k5 down conv vs space-to-depth + k3 conv,
-- full-res k5 mix conv (128→64) — the single biggest FLOPs block,
-- whole-U-Net forward at (64,)×4 and (128,)×4.
-
-Timing per CLAUDE.md: fetch a scalar computed IN the jitted graph (sync
-through the relay is unreliable); inputs stay device-resident.
+Timing method: each op runs K times INSIDE one jitted program via
+``lax.fori_loop`` with a data dependency between iterations (output summed
+into a scalar carried forward), so one host fetch covers K executions and
+the ~30 ms relay round trip (CLAUDE.md) amortises to noise. A K=0 "empty"
+program measures the residual per-call overhead, which is subtracted.
 """
 
 import json
@@ -20,18 +16,47 @@ import time
 
 import numpy as np
 
+K_INNER = 8
 
-def _timeit(fn, *args, reps=7):
+
+def _timeit_ingraph(make_apply, params, x, reps=5):
+    """Median per-execution device time of ``make_apply(params, x)``.
+
+    The op output is reduced to a scalar and added to a tiny perturbation of
+    the input's first element each iteration, forcing sequential execution.
+    """
+    import jax
     import jax.numpy as jnp
 
-    out = fn(*args)
-    float(np.asarray(out))  # compile + settle
+    def body(fn, k):
+        def run(p, x):
+            def it(i, carry):
+                s, xx = carry
+                y = fn(p, xx)
+                s = s + jnp.sum(y).astype(jnp.float32)
+                # tie the next iteration to this one (defeat CSE/DCE) with a
+                # scalar-only update — no extra memory traffic
+                xx = xx + (s * 1e-30).astype(xx.dtype)
+                return s, xx
+
+            s, _ = jax.lax.fori_loop(0, k, it, (jnp.float32(0.0), x))
+            return s
+
+        return jax.jit(run)
+
+    fK = body(make_apply, K_INNER)
+    f0 = body(make_apply, 0)
+    float(np.asarray(fK(params, x)))  # compile
+    float(np.asarray(f0(params, x)))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        float(np.asarray(out))
-        ts.append(time.perf_counter() - t0)
+        float(np.asarray(fK(params, x)))
+        tK = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(f0(params, x)))
+        t0 = time.perf_counter() - t0
+        ts.append((tK - t0) / K_INNER)
     return float(np.median(ts))
 
 
@@ -50,9 +75,8 @@ def main(B=24, H=304, C=64):
 
     def bench_module(name, mod, x):
         params = mod.init(key, x)
-        f = jax.jit(lambda p, x: jnp.sum(mod.apply(p, x).astype(jnp.float32)))
-        results[name] = _timeit(f, params, x)
-        print(f"{name}: {results[name]*1e3:.1f} ms", flush=True)
+        results[name] = _timeit_ingraph(mod.apply, params, x)
+        print(f"{name}: {results[name]*1e3:.2f} ms", flush=True)
 
     dt = jnp.bfloat16
     # --- up-path candidates: 304² -> 608², 64 -> 64 ------------------------
@@ -70,45 +94,70 @@ def main(B=24, H=304, C=64):
 
     bench_module("subpixel_k3_4C", SubPixel(), x_lo)
 
-    class NearestUp(nn.Module):
-        @nn.compact
-        def __call__(self, x):
-            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-            return nn.Conv(C, (5, 5), padding="SAME", dtype=dt)(x)
+    from deepsensornz_tpu.models.unet import _SubpixelUp
 
-    bench_module("nearest_k5", NearestUp(), x_lo)
+    bench_module("subpixel_paritysplit_k5", _SubpixelUp(C, 5, dtype=dt), x_lo)
+
+    # --- up in fusion context: relu -> up -> concat skip -> relu -> mix ----
+    class UpMix(nn.Module):
+        up: str = "transpose"
+        mix_k: int = 5
+
+        @nn.compact
+        def __call__(self, lo, skip):
+            x = nn.relu(lo)
+            if self.up == "transpose":
+                x = nn.ConvTranspose(C, (5, 5), strides=(2, 2), padding="SAME",
+                                     dtype=dt)(x)
+            else:
+                x = _SubpixelUp(C, 5, dtype=dt)(x)
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = nn.relu(x)
+            return nn.Conv(C, (self.mix_k, self.mix_k), padding="SAME", dtype=dt)(x)
+
+    class UpMixSplit(nn.Module):
+        """concat+mix as two summed convs: avoids materialising the 2C concat."""
+
+        @nn.compact
+        def __call__(self, lo, skip):
+            x = nn.relu(lo)
+            x = nn.ConvTranspose(C, (5, 5), strides=(2, 2), padding="SAME", dtype=dt)(x)
+            a = nn.Conv(C, (5, 5), padding="SAME", dtype=dt)(nn.relu(x))
+            b = nn.Conv(C, (5, 5), padding="SAME", use_bias=False, dtype=dt)(nn.relu(skip))
+            return a + b
+
+    for name, mod in [
+        ("upmix_transpose_k5", UpMix("transpose", 5)),
+        ("upmix_subpixel_k5", UpMix("subpixel", 5)),
+        ("upmix_transpose_k3mix", UpMix("transpose", 3)),
+        ("upmix_split_k5", UpMixSplit()),
+    ]:
+        params = mod.init(key, x_lo, x_hi)
+        results[name] = _timeit_ingraph(
+            lambda p, args, _m=mod: _m.apply(p, *args), params, (x_lo, x_hi))
+        print(f"{name}: {results[name]*1e3:.2f} ms", flush=True)
 
     # --- down-path candidates: 608² -> 304² ---------------------------------
     bench_module("conv_k5_s2", nn.Conv(C, (5, 5), strides=(2, 2),
                                        padding="SAME", dtype=dt), x_hi)
 
-    class S2DDown(nn.Module):
-        @nn.compact
-        def __call__(self, x):
-            b, h, w, c = x.shape
-            x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-            return nn.Conv(C, (3, 3), padding="SAME", dtype=dt)(x)
-
-    bench_module("s2d_k3_down", S2DDown(), x_hi)
-
     # --- full-res mix conv (the biggest single block) -----------------------
     bench_module("mix_k5_128to64_608sq", nn.Conv(C, (5, 5), padding="SAME", dtype=dt), x_cat)
     bench_module("mix_k3_128to64_608sq", nn.Conv(C, (3, 3), padding="SAME", dtype=dt), x_cat)
 
-    # --- whole U-Net at (64,)x4 and (128,)x4 --------------------------------
+    # --- whole U-Net variants ----------------------------------------------
     from deepsensornz_tpu.models.unet import UNet
 
     x_in = jnp.asarray(rng.normal(size=(B, 2 * H, 2 * H, 12)).astype(np.float32))
-    for name, ch, up in [
-        ("unet64_transpose", (64,) * 4, "transpose"),
-        ("unet128_transpose", (128,) * 4, "transpose"),
+    for name, kw in [
+        ("unet64_transpose", dict(channels=(64,) * 4, upsample="transpose")),
+        ("unet64_subpixel", dict(channels=(64,) * 4, upsample="subpixel")),
+        ("unet128_transpose", dict(channels=(128,) * 4, upsample="transpose")),
     ]:
-        mod = UNet(channels=ch, out_channels=64, kernel_size=5,
-                   compute_dtype=jnp.bfloat16, upsample=up)
+        mod = UNet(out_channels=64, kernel_size=5, compute_dtype=jnp.bfloat16, **kw)
         bench_module(name, mod, x_in)
 
-    print(json.dumps({k: round(v * 1e3, 2) for k, v in results.items()}))
+    print(json.dumps({k: round(v * 1e3, 3) for k, v in results.items()}))
     return results
 
 

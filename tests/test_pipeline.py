@@ -118,6 +118,13 @@ def test_validation_metrics(trained_run):
         stations["time"].isin(times)
     ])
     assert np.isfinite(baseline["rmse"]) and baseline["n"] > 0
+    # per-station reporting (calculate_loss_era5 / HiRes-base study parity):
+    # abs-error means/stds per station, aggregated as mean-of-means
+    ps = v.per_station_loss_base(base, stations, dates=list(times))
+    assert ps["n_stations"] > 0
+    assert np.isfinite(ps["mean_of_means"]) and ps["mean_of_means"] >= 0
+    m = np.mean([s[0] for s in ps["per_station"].values()])
+    assert abs(m - ps["mean_of_means"]) < 1e-9
 
 
 def test_holdout_stations_removed_from_context(trained_run):
