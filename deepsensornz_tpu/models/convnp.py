@@ -61,6 +61,10 @@ class ConvNPConfig:
     # parity-split lowering — 0.128 s vs 0.141 s full cycle — because the
     # depth-to-space interleave breaks fusion) | "subpixel" | "nearest"
     upsample: str = "transpose"
+    # Level-0 (full-res) U-Net kernel size override (5→3 halves cycle-
+    # dominant FLOPs; quality checked on hardware — docs/perf_unet.md).
+    # None = kernel_size at every level (reference parity).
+    top_kernel: Optional[int] = None
     compute_dtype: str = "bfloat16"   # U-Net compute precision
     sigmoid_output: bool = False  # ConvNP_sigmoid parity (train.py:639-655)
     # (batch_axis, spatial_axis) mesh-axis names for SPMD sharding of the
@@ -155,6 +159,7 @@ class ConvNP(nn.Module):
             kernel_size=cfg.kernel_size,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             upsample=cfg.upsample,
+            top_kernel=cfg.top_kernel,
             name="unet",
         )(h)
         f = _maybe_shard_grid(f, cfg)

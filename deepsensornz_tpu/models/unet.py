@@ -107,10 +107,20 @@ class UNet(nn.Module):
     kernel_size: int = 5
     compute_dtype: jnp.dtype = jnp.float32
     upsample: str = "transpose"
+    # Kernel size for the LEVEL-0 (full-resolution) down/up/mix convs only.
+    # The full-res level carries ~75% of the U-Net FLOPs at 608² and its mix
+    # conv is already at the 64-lane MXU ceiling, so shrinking only this
+    # level's taps (5→3) is the highest-leverage model knob; deeper levels
+    # keep the reference receptive field. None = kernel_size everywhere.
+    top_kernel: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        k = (self.kernel_size, self.kernel_size)
+        def ksz(level: int) -> tuple:
+            k = (self.top_kernel if (level == 0 and self.top_kernel is not None)
+                 else self.kernel_size)
+            return (k, k)
+
         dt = self.compute_dtype
         x = x.astype(dt)
 
@@ -121,25 +131,26 @@ class UNet(nn.Module):
         for i, ch in enumerate(self.channels):
             x = nn.relu(x)
             skips.append(x)
-            x = nn.Conv(ch, k, strides=(2, 2), padding="SAME", dtype=dt,
+            x = nn.Conv(ch, ksz(i), strides=(2, 2), padding="SAME", dtype=dt,
                         name=f"down_{i}")(x)
 
         x = nn.relu(x)
-        x = nn.Conv(self.channels[-1], k, padding="SAME", dtype=dt, name="bottleneck")(x)
+        x = nn.Conv(self.channels[-1], ksz(len(self.channels)), padding="SAME",
+                    dtype=dt, name="bottleneck")(x)
 
         for i, ch in reversed(list(enumerate(self.channels))):
             x = nn.relu(x)
             if self.upsample == "nearest":
                 x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-                x = nn.Conv(ch, k, padding="SAME", dtype=dt, name=f"up_{i}")(x)
+                x = nn.Conv(ch, ksz(i), padding="SAME", dtype=dt, name=f"up_{i}")(x)
             elif self.upsample == "subpixel":
-                x = _SubpixelUp(ch, self.kernel_size, dtype=dt, name=f"up_{i}")(x)
+                x = _SubpixelUp(ch, ksz(i)[0], dtype=dt, name=f"up_{i}")(x)
             else:
-                x = nn.ConvTranspose(ch, k, strides=(2, 2), padding="SAME", dtype=dt,
-                                     name=f"up_{i}")(x)
+                x = nn.ConvTranspose(ch, ksz(i), strides=(2, 2), padding="SAME",
+                                     dtype=dt, name=f"up_{i}")(x)
             x = jnp.concatenate([x, skips[i]], axis=-1)
             x = nn.relu(x)
-            x = nn.Conv(ch, k, padding="SAME", dtype=dt, name=f"up_mix_{i}")(x)
+            x = nn.Conv(ch, ksz(i), padding="SAME", dtype=dt, name=f"up_mix_{i}")(x)
 
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (1, 1), dtype=dt, name="head")(x)

@@ -48,30 +48,50 @@ def _cdiv(a: int, b: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _encode_kernel(x1g_ref, x2g_ref, px_ref, yaug_ref, ls_ref, out_ref):
-    """One (batch, H-tile, W-tile) program. Channel-first output.
+def _encode_kernel(x1g_ref, x2g_ref, px_ref, yaug_ref, ls_ref, out_ref,
+                   *, mxu_bf16: bool):
+    """One (batch, H-tile, W-tile, N-block) program. Channel-first output.
 
-    x1g_ref: (1, TH) grid x1 block       px_ref: (1, N, 2) points (this batch)
-    x2g_ref: (1, TW) grid x2 block       yaug_ref: (1, C1, N) mask-folded values
+    The point set is BLOCKED over the grid's minor-most dimension: each
+    program sees only NB points, and the output block — revisited for every
+    N-block of the same (b, i, j) — is the accumulator (the same
+    revisit-accumulation pattern as the decoder; VMEM scratch did not
+    survive grid steps on hardware). Scales to arbitrary N without blowing
+    VMEM (round 1 loaded the full point set per program).
+
+    x1g_ref: (1, TH) grid x1 block       px_ref: (1, NB, 2) point block
+    x2g_ref: (1, TW) grid x2 block       yaug_ref: (1, C1, NB) mask-folded values
     ls_ref:  (1, 1) lengthscale (SMEM)   out_ref: (1, C1, TH, TW)
     """
+    n = pl.program_id(3)
+
+    @pl.when(n == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
     ls = ls_ref[0, 0]
     inv2 = 0.5 / (ls * ls)
-    px1 = px_ref[0, :, 0]                      # (N,)
-    px2 = px_ref[0, :, 1]                      # (N,)
+    px1 = px_ref[0, :, 0]                      # (NB,)
+    px2 = px_ref[0, :, 1]                      # (NB,)
     g1 = x1g_ref[0, :]                         # (TH,)
     g2 = x2g_ref[0, :]                         # (TW,)
     d1 = g1[:, None] - px1[None, :]
-    w1 = jnp.exp(-inv2 * d1 * d1)              # (TH, N)
+    w1 = jnp.exp(-inv2 * d1 * d1)              # (TH, NB)
     d2 = px2[:, None] - g2[None, :]
-    w2 = jnp.exp(-inv2 * d2 * d2)              # (N, TW)
+    w2 = jnp.exp(-inv2 * d2 * d2)              # (NB, TW)
+    if mxu_bf16:
+        # bf16 MXU passes with f32 accumulate — XLA's own default f32-matmul
+        # numerics on TPU, ~2× the MXU rate of the strict-f32 path
+        w1 = w1.astype(jnp.bfloat16)
+        w2 = w2.astype(jnp.bfloat16)
     c1 = out_ref.shape[1]
     for c in range(c1):  # static unroll over channels (density + values)
-        t = w2 * yaug_ref[0, c, :][:, None]    # (N, TW)
-        out_ref[0, c] = jnp.dot(w1, t, preferred_element_type=jnp.float32)
+        t = w2 * yaug_ref[0, c, :][:, None].astype(w2.dtype)   # (NB, TW)
+        out_ref[0, c] += jnp.dot(w1, t, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("th", "tw", "interpret"))
+@functools.partial(jax.jit, static_argnames=("th", "tw", "nb", "mxu_bf16",
+                                             "interpret"))
 def encode_offgrid(
     x1g: jnp.ndarray,   # (H,)
     x2g: jnp.ndarray,   # (W,)
@@ -81,6 +101,8 @@ def encode_offgrid(
     lengthscale,
     th: int = 256,
     tw: int = 256,
+    nb: int = 1024,
+    mxu_bf16: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused SetConv encode. Returns (B, H, W, C+1), density channel first."""
@@ -88,30 +110,43 @@ def encode_offgrid(
     H, W = x1g.shape[0], x2g.shape[0]
     th = min(th, H)
     tw = min(tw, W)
+    # the N-block is yaug's LAST block dim: keep it 128-aligned (Mosaic
+    # rejects last block dims that do not divide 128) and never larger than
+    # the 128-rounded point count
+    nb = min(nb, _cdiv(N, 128) * 128)
     m = mask.astype(jnp.float32)
     yaug = jnp.concatenate([m[..., None], y.astype(jnp.float32) * m[..., None]], -1)
     yaug_cf = jnp.transpose(yaug, (0, 2, 1))   # (B, C1, N)
     ls = jnp.asarray(lengthscale, jnp.float32).reshape(1, 1)
     x1g2 = x1g.astype(jnp.float32).reshape(1, H)
     x2g2 = x2g.astype(jnp.float32).reshape(1, W)
+    px = x.astype(jnp.float32)
 
-    grid = (B, _cdiv(H, th), _cdiv(W, tw))
+    # zero-pad the point dim to a block multiple: padded points get mask 0
+    # (zero yaug) so they contribute nothing, and coordinate 0 keeps the RBF
+    # finite (partial INPUT blocks would otherwise read garbage memory)
+    Np = _cdiv(N, nb) * nb
+    if Np != N:
+        px = jnp.pad(px, ((0, 0), (0, Np - N), (0, 0)))
+        yaug_cf = jnp.pad(yaug_cf, ((0, 0), (0, 0), (0, Np - N)))
+
+    grid = (B, _cdiv(H, th), _cdiv(W, tw), Np // nb)
     out = pl.pallas_call(
-        _encode_kernel,
+        functools.partial(_encode_kernel, mxu_bf16=mxu_bf16),
         out_shape=jax.ShapeDtypeStruct((B, C + 1, H, W), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, th), lambda b, i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tw), lambda b, i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 2), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C + 1, N), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda b, i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, th), lambda b, i, j, n: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tw), lambda b, i, j, n: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nb, 2), lambda b, i, j, n: (b, n, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C + 1, nb), lambda b, i, j, n: (b, 0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b, i, j, n: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, C + 1, th, tw), lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM
+            (1, C + 1, th, tw), lambda b, i, j, n: (b, 0, i, j), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(x1g2, x2g2, x.astype(jnp.float32), yaug_cf, ls)
+    )(x1g2, x2g2, px, yaug_cf, ls)
 
     out = jnp.transpose(out, (0, 2, 3, 1))     # → (B, H, W, C1)
     density = out[..., :1]

@@ -100,6 +100,66 @@ def main(argv=None):
         # the compute latency.
     }), flush=True)
 
+    # ---- device-resident month batching (VERDICT round-1 #10) -------------
+    # The naive loop above interleaves host transfers with compute, so
+    # through a tunnel it measures the wire. Production shape: pack every
+    # chunk on host, upload ONCE, run all chunks back-to-back on device
+    # (outputs stay device-resident), sync on a checksum scalar, download
+    # ONCE. Reports the honest pack / upload / compute / download split.
+    import jax.numpy as jnp
+
+    from deepsensornz_tpu.infer.predict import _grid_forward_fn
+
+    tp = time.perf_counter()
+    host_tasks = [tl(list(times[s: s + ns.chunk]))
+                  for s in range(0, ns.hours, ns.chunk)]
+    t_pack2 = time.perf_counter() - tp
+
+    lat = np.asarray(dem.coords["latitude"], np.float64)
+    lon = np.asarray(dem.coords["longitude"], np.float64)
+    xt1 = jnp.asarray(dp.map_x1(lat), jnp.float32)
+    xt2 = jnp.asarray(dp.map_x2(lon), jnp.float32)
+    aux = dem_n.data.astype(np.float32)[None]
+    fwd = _grid_forward_fn(model, 0)
+
+    tu = time.perf_counter()
+    dev_tasks = [jax.device_put(t) for t in host_tasks]
+    aux_grid = jax.device_put(
+        jnp.asarray(np.broadcast_to(aux, (ns.chunk,) + aux.shape[1:])[..., None]))
+    jax.block_until_ready(dev_tasks[-1].xt)
+    t_upload = time.perf_counter() - tu
+
+    seed = jnp.asarray(0)
+    outs = [fwd(params, dev_tasks[0], (xt1, xt2, aux_grid), seed)]
+    jax.block_until_ready(outs[0]["mean"])   # compile once
+    outs = []
+    tc = time.perf_counter()
+    for t in dev_tasks:
+        outs.append(fwd(params, t, (xt1, xt2, aux_grid), seed))
+    # sync on a scalar computed from the last output (CLAUDE.md: honest
+    # through-relay completion signal)
+    float(np.asarray(jnp.sum(outs[-1]["mean"][0, 0]).astype(jnp.float32)))
+    t_compute = time.perf_counter() - tc
+
+    td = time.perf_counter()
+    month_mean = [np.asarray(o["mean"][..., 0]) for o in outs]
+    month_std = [np.asarray(o["std"][..., 0]) for o in outs]
+    t_download = time.perf_counter() - td
+    mb = sum(a.nbytes for a in month_mean + month_std) / 1e6
+
+    print(json.dumps({
+        "metric": "month_hourly_inference_device_resident",
+        "hours": ns.hours,
+        "value": round(t_pack2 + t_upload + t_compute + t_download, 2),
+        "unit": "s",
+        "pack_s": round(t_pack2, 2),
+        "upload_s": round(t_upload, 2),
+        "compute_s": round(t_compute, 2),
+        "download_s": round(t_download, 2),
+        "download_mb": round(mb, 1),
+        "compute_tasks_per_sec": round(ns.hours / t_compute, 1),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -36,7 +36,7 @@ def _timeit_ingraph(make_apply, params, x, reps=5):
                 s = s + jnp.sum(y).astype(jnp.float32)
                 # tie the next iteration to this one (defeat CSE/DCE) with a
                 # scalar-only update — no extra memory traffic
-                xx = xx + (s * 1e-30).astype(xx.dtype)
+                xx = jax.tree.map(lambda a: a + (s * 1e-30).astype(a.dtype), xx)
                 return s, xx
 
             s, _ = jax.lax.fori_loop(0, k, it, (jnp.float32(0.0), x))

@@ -166,6 +166,30 @@ def test_gnp_mean_anchor_default_on():
     assert ConvNPConfig(likelihood="cnp", mean_anchor=0.5).anchor_weight() == 0.5
 
 
+def test_top_kernel_overrides_level0_only():
+    """top_kernel shrinks only the full-res level's taps; deeper levels and
+    the bottleneck keep kernel_size (docs/perf_unet.md variant)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepsensornz_tpu.models.unet import UNet
+
+    x = jnp.zeros((1, 32, 32, 5))
+    m = UNet(channels=(8, 8), out_channels=4, kernel_size=5,
+             compute_dtype=jnp.float32, top_kernel=3)
+    p = m.init(jax.random.key(0), x)["params"]
+    assert p["down_0"]["kernel"].shape[:2] == (3, 3)
+    assert p["up_0"]["kernel"].shape[:2] == (3, 3)
+    assert p["up_mix_0"]["kernel"].shape[:2] == (3, 3)
+    assert p["down_1"]["kernel"].shape[:2] == (5, 5)
+    assert p["up_mix_1"]["kernel"].shape[:2] == (5, 5)
+    assert p["bottleneck"]["kernel"].shape[:2] == (5, 5)
+    out = m.apply({"params": p}, x)
+    assert out.shape == (1, 32, 32, 4)
+    assert bool(np.isfinite(np.asarray(out)).all())
+
+
 def test_subpixel_upsample_exactly_matches_transpose():
     """The subpixel up-path is the SAME model as ConvTranspose: identical
     parameter tree, f32 outputs equal to rounding, so checkpoints trained

@@ -37,6 +37,38 @@ def test_encode_uneven_tiles(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_encode_point_blocks_accumulate(rng):
+    """N larger than the point block: blocks must accumulate into the
+    revisited output tile, and zero-padded tail points contribute nothing."""
+    B, N, C = 2, 300, 2   # nb=128 → 3 blocks, last one padded by 84
+    H, W = 24, 24
+    x1g = np.linspace(0, 1, H).astype(np.float32)
+    x2g = np.linspace(0, 1, W).astype(np.float32)
+    x = rng.random((B, N, 2)).astype(np.float32)
+    y = rng.normal(size=(B, N, C)).astype(np.float32)
+    mask = (rng.random((B, N)) > 0.1).astype(np.float32)
+    ls = 0.15
+    want = np.asarray(setconv_encode_offgrid(x1g, x2g, x, y, mask, ls))
+    got = np.asarray(encode_offgrid(x1g, x2g, x, y, mask, ls,
+                                    th=16, tw=16, nb=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_encode_mxu_bf16_close_to_f32(rng):
+    """The bf16-MXU variant matches the f32 path to bf16 tolerance."""
+    B, N, C = 1, 64, 1
+    H, W = 16, 16
+    x1g = np.linspace(0, 1, H).astype(np.float32)
+    x2g = np.linspace(0, 1, W).astype(np.float32)
+    x = rng.random((B, N, 2)).astype(np.float32)
+    y = rng.normal(size=(B, N, C)).astype(np.float32)
+    mask = np.ones((B, N), np.float32)
+    want = np.asarray(setconv_encode_offgrid(x1g, x2g, x, y, mask, 0.2))
+    got = np.asarray(encode_offgrid(x1g, x2g, x, y, mask, 0.2,
+                                    th=16, tw=16, mxu_bf16=True, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
 def test_decode_grid_matches_reference(rng):
     B, H, W, C = 2, 32, 24, 4
     Ht, Wt = 20, 12
