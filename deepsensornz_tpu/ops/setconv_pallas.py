@@ -1,5 +1,12 @@
 """Fused Pallas TPU kernels for the SetConv hot ops.
 
+STATUS (measured, round 2 — docs/perf_setconv.md): XLA's einsum path beats
+these kernels at every size (decode 2.5-5×; encode is sub-millisecond on
+both), so ``ConvNPConfig.use_pallas`` defaults to False and these remain as
+(a) the strict-f32-accumulation option (XLA's f32 matmul on TPU is
+bf16-precision; these are the MORE accurate path) and (b) the
+hardware-verified worked example of the Mosaic kernel constraints.
+
 These are the "native kernel" implementations of the two ops that dominate
 the non-U-Net compute (SURVEY.md §2.1 — in the reference these are the
 neuralprocesses SetConv scatter/gather served by torch/cuDNN):

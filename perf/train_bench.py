@@ -17,7 +17,7 @@ import numpy as np
 
 
 def main(batch=8, internal_density=500, n_stations=512, n_targets=512,
-         steps=5):
+         steps=5, **cfg_overrides):
     import jax
     import jax.numpy as jnp
 
@@ -57,6 +57,7 @@ def main(batch=8, internal_density=500, n_stations=512, n_targets=512,
     cfg = ConvNPConfig(
         unet_channels=(64, 64, 64, 64), likelihood="gnp", rank=64,
         internal_density=internal_density, compute_dtype="bfloat16",
+        **cfg_overrides,
     )
     model = ConvNP(cfg)
     state = init_state(model, jax.random.key(0), task)
@@ -94,6 +95,7 @@ def main(batch=8, internal_density=500, n_stations=512, n_targets=512,
         "step_pipelined_s": round(pipelined, 4),
         "tasks_per_sec_synced": round(batch / p50, 1),
         "batch": batch,
+        "overrides": {k: str(v) for k, v in cfg_overrides.items()},
         "final_loss": sync(loss),
     }))
     return batch / pipelined
@@ -102,8 +104,14 @@ def main(batch=8, internal_density=500, n_stations=512, n_targets=512,
 if __name__ == "__main__":
     import sys
 
-    if len(sys.argv) > 1:
-        for b in [int(x) for x in sys.argv[1:]]:
-            main(batch=b)
-    else:
-        main()
+    # usage: train_bench.py [batch ...] [key=value ...]  (values JSON; e.g.
+    #        train_bench.py 8 16 top_kernel=3)
+    batches, overrides = [], {}
+    for a in sys.argv[1:]:
+        if "=" in a:
+            k, _, raw = a.partition("=")
+            overrides[k] = json.loads(raw)
+        else:
+            batches.append(int(a))
+    for b in batches or [8]:
+        main(batch=b, **overrides)

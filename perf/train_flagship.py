@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 
-def main(out_dir="/tmp/flagship_run", n_epochs=30):
+def main(out_dir="/tmp/flagship_run", n_epochs=30, **convnp_extra):
     os.makedirs(out_dir, exist_ok=True)
     import jax
 
@@ -59,6 +59,7 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30):
 
     training.initialise_model(
         likelihood=_cfg.CONVNP_KWARGS_DEFAULT["likelihood"], remat=True,
+        **convnp_extra,
     )
     print("model config:", training.model_config_dict, flush=True)
 
@@ -99,4 +100,11 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30):
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:2] or ["/tmp/flagship_run"]))
+    # usage: train_flagship.py [out_dir] [key=value ...]  (values are JSON,
+    # e.g. top_kernel=3 for the fast-level-0 variant, docs/perf_unet.md)
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/flagship_run"
+    extra = {}
+    for kv in sys.argv[2:]:
+        k, _, raw = kv.partition("=")
+        extra[k] = json.loads(raw)
+    main(out, **extra)
