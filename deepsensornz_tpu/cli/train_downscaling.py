@@ -121,6 +121,8 @@ def main(argv=None):
         unet_channels=args.get("unet_channels") or cfg.CONVNP_KWARGS_DEFAULT["unet_channels"],
         likelihood=args.get("likelihood") or cfg.LIKELIHOODS[variable],
         pretrained_dir=args.get("pretrained_model"),
+        # fast level-0 k3 U-Net variant (docs/perf_unet.md); None = parity
+        top_kernel=args.get("top_kernel"),
     )
     result = training.train_model(
         n_epochs=args.get("n_epochs") or cfg.TRAIN_DEFAULTS["n_epochs"],

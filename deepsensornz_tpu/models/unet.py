@@ -27,12 +27,13 @@ def _subpixel_up(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.
     """ConvTranspose(k odd, stride 2, SAME) as ONE small conv + depth-to-space.
 
     Exact reparameterisation (verified bit-level in f32 against
-    ``lax.conv_transpose``): XLA lowers transpose convs by dilating the
-    input with zeros, so ~75% of the MXU work multiplies zeros (measured on
-    v5e: k5 convT 4× the useful FLOPs). Splitting the kernel by output
-    parity gives a ⌈k/2⌉-tap conv producing all 4 sub-pixels as channels —
-    same parameters (a (k,k,Cin,Cout) ConvTranspose kernel), ~2.8× fewer
-    executed FLOPs, and 4·Cout output channels fill the 128-wide MXU lanes.
+    ``lax.conv_transpose``): splitting the kernel by output parity gives a
+    ⌈k/2⌉-tap conv producing all 4 sub-pixels as channels. MEASURED VERDICT
+    (docs/perf_unet.md): XLA/Mosaic does NOT pay the naive dilated-input
+    dilution — op-for-op this runs at ConvTranspose speed (11.9 vs 11.4 ms
+    at the flagship shape) and in fusion context it is slower (the
+    depth-to-space interleave breaks fusion), so ``upsample="transpose"``
+    stays the default and this path is a checkpoint-compatible option.
 
     Derivation: out[Y] = Σ_dy x[(Y+dy−P)/2]·W[dy] with P = (k+1)//2 for
     SAME (taps where the dilated index lands on a real input pixel; P
@@ -95,11 +96,12 @@ class _SubpixelUp(nn.Module):
 class UNet(nn.Module):
     """Stride-2 conv U-Net. Input/output: (B, H, W, C) NHWC.
 
-    ``upsample``: "subpixel" (default-recommended: the exact ConvTranspose
-    math via parity-split kernels — no dilated-input lowering, measured
-    faster on v5e and checkpoint-compatible with "transpose"), "transpose"
-    (ConvTranspose, neuralprocesses-style), or "nearest" (2× repeat +
-    conv — a different model, kept for parity experiments).
+    ``upsample``: "transpose" (default — ConvTranspose,
+    neuralprocesses-style; measured fastest in-model, docs/perf_unet.md),
+    "subpixel" (the exact same math via parity-split kernels,
+    checkpoint-compatible both ways, measured slower in fusion context),
+    or "nearest" (2× repeat + conv — a different model, kept for parity
+    experiments).
     """
 
     channels: Sequence[int] = (64, 64, 64, 64)

@@ -77,6 +77,7 @@ ARG_SCHEMA = {
     "weight_decay": float_or_none,
     "n_epochs": int_or_none,
     "unet_channels": lambda v: tuple(int(x) for x in v) if v else None,
+    "top_kernel": int_or_none,
     "likelihood": str_or_none,
     "internal_density": int_or_none,
     "auto_set_internal_density": str2bool,

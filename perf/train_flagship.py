@@ -58,7 +58,9 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, **convnp_extra):
     from deepsensornz_tpu import config as _cfg
 
     training.initialise_model(
-        likelihood=_cfg.CONVNP_KWARGS_DEFAULT["likelihood"], remat=True,
+        likelihood=convnp_extra.pop(
+            "likelihood", _cfg.CONVNP_KWARGS_DEFAULT["likelihood"]),
+        remat=True,
         **convnp_extra,
     )
     print("model config:", training.model_config_dict, flush=True)
