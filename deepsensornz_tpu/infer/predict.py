@@ -57,10 +57,19 @@ def _affine_for(dp: DataProcessor, var: str) -> tuple[float, float]:
 
 
 @functools.lru_cache(maxsize=64)
-def _grid_forward_fn(model, n_samples: int):
+def _grid_forward_fn(model, n_samples: int, transfer_dtype: Optional[str] = None):
     """Jitted gridded forward, shared across Predictor instances of the
-    same (hashable) model — a fresh Predictor never recompiles."""
+    same (hashable) model — a fresh Predictor never recompiles.
+
+    ``transfer_dtype`` ("float16"/"bfloat16") casts the outputs IN-graph so
+    the host transfer moves half the bytes — the dominant cost of
+    operational serving over a remote host link (measured: 17.9 s of a
+    23 s month was the f32 download; docs/results/operational_month_r2.json).
+    float16's 10-bit mantissa resolves ~0.03 % of a normalised value —
+    far below station error — and outputs are upcast on the host.
+    """
     lik = model.cfg.make_likelihood()
+    tdt = jnp.dtype(transfer_dtype) if transfer_dtype else None
 
     @jax.jit
     def fn(params, task, target_grid, seed):
@@ -73,6 +82,8 @@ def _grid_forward_fn(model, n_samples: int):
             flat = raw.reshape(B, Ht * Wt, K)
             s = lik.sample(flat, jax.random.key(seed), n_samples)
             out["samples"] = s.reshape((n_samples, B, Ht, Wt, -1))
+        if tdt is not None:
+            out = {k: v.astype(tdt) for k, v in out.items()}
         return out
 
     return fn
@@ -95,17 +106,19 @@ class Predictor:
     """Bind (model, params, data_processor) into a predict callable."""
 
     def __init__(self, model, params, data_processor: DataProcessor,
-                 target_var: str):
+                 target_var: str, transfer_dtype: Optional[str] = None):
         self.model = model
         self.params = params
         self.dp = data_processor
         self.target_var = target_var
         self.likelihood = model.cfg.make_likelihood()
+        # halve device→host bytes for remote serving (see _grid_forward_fn)
+        self.transfer_dtype = transfer_dtype
 
     # -- jitted cores --------------------------------------------------------
 
     def _grid_forward(self, params, task, target_grid, n_samples: int, seed=0):
-        return _grid_forward_fn(self.model, n_samples)(
+        return _grid_forward_fn(self.model, n_samples, self.transfer_dtype)(
             params, task, target_grid, jnp.asarray(seed)
         )
 

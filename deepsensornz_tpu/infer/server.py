@@ -29,16 +29,20 @@ import numpy as np
 class PredictService:
     """Wraps a trained run for request-driven gridded prediction."""
 
-    def __init__(self, model_dir: str, dem, highres_factor: int = 10):
+    def __init__(self, model_dir: str, dem, highres_factor: int = 10,
+                 transfer_dtype: str | None = "float16"):
         from deepsensornz_tpu.pipeline.validate import load_run
         from deepsensornz_tpu.infer.predict import Predictor
 
         self.run = load_run(model_dir)
         self.dem = dem
         self.pred_grid = dem.coarsen(highres_factor)
+        # serving default: halve the device→host bytes (the dominant cost
+        # when the accelerator is remote; docs/results/operational_month_r2.json)
         self.predictor = Predictor(
             self.run["model"], self.run["params"], self.run["data_processor"],
             self.run["task_loader"].target_var_IDs[0],
+            transfer_dtype=transfer_dtype,
         )
         self.lock = threading.Lock()
 

@@ -26,7 +26,8 @@ import time
 import numpy as np
 
 
-def main(out_dir="/tmp/flagship_run", n_epochs=30, **convnp_extra):
+def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
+         **convnp_extra):
     os.makedirs(out_dir, exist_ok=True)
     import jax
 
@@ -39,12 +40,12 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, **convnp_extra):
     from deepsensornz_tpu import plot as dplot
 
     base, dem, stations = synthetic_bundle(
-        variable="temperature", n_times=40, base_hw=(32, 32),
+        variable=variable, n_times=40, base_hw=(32, 32),
         dem_hw=(128, 128), n_stations=100,
     )
-    pre = PreprocessForDownscaling(variable="temperature")
+    pre = PreprocessForDownscaling(variable=variable)
     processed = pre.run_processing_sequence(
-        dem, {"temperature": base}, stations,
+        dem, {variable: base}, stations,
         highres_factor=2, lowres_factor=4, include_time_of_year=True,
     )
     training = Train(processed)

@@ -54,6 +54,22 @@ def test_gridded_prediction_fields(setting):
     assert (std.data[:, land] > 0).all()
 
 
+def test_transfer_dtype_halves_bytes_same_answer(setting):
+    """float16 transfer mode (remote-serving option) matches the f32 path to
+    half precision; NaN sea mask and coords survive."""
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    p16 = Predictor(pred.model, pred.params, pred.dp, st_col,
+                    transfer_dtype="float16")
+    a = pred.predict_grid(task, dem, aux_at_targets=dem_n)
+    b = p16.predict_grid(task, dem, aux_at_targets=dem_n)
+    land = ~np.isnan(dem.data)
+    ma, mb = a["mean"].data[:, land], b["mean"].data[:, land]
+    # f16 resolves ~1e-3 of the normalised value; after unnormalisation the
+    # tolerance scales with the target's std (~5 here)
+    np.testing.assert_allclose(mb, ma, atol=2e-2 * max(1.0, np.abs(ma).max()))
+    assert np.isnan(b["mean"].data[:, ~land]).all()
+
+
 def test_unnormalisation_scale(setting):
     pred, task, dem, dem_n, times, stations, st_col = setting
     phys = pred.predict_grid(task, dem, aux_at_targets=dem_n)
