@@ -130,7 +130,14 @@ def synthetic_stations(
             if variable == "temperature":
                 y = y - 0.0065 * float(elevs[si]) + rng.normal(0, 0.5)
             elif variable == "precipitation":
-                y = max(y * (1 + 0.0005 * float(elevs[si])) + rng.normal(0, 0.1), 0.0)
+                # orographic enhancement well above observation noise, so
+                # the synthetic task carries learnable sub-grid signal (the
+                # base baseline cannot explain the elevation multiplier)
+                y = max(y * (1 + 0.002 * float(elevs[si])) + rng.normal(0, 0.05), 0.0)
+            elif variable == "humidity":
+                # elevation-dependent drying + small noise (bounded [0, 1])
+                y = float(np.clip(y * (1 - 0.0004 * float(elevs[si]))
+                                  + rng.normal(0, 0.02), 0.0, 1.0))
             else:
                 y = y + rng.normal(0, 0.05 * (abs(y) + 1.0))
             rows.append({
