@@ -105,7 +105,10 @@ if __name__ == "__main__":
     import sys
 
     # usage: train_bench.py [batch ...] [key=value ...]  (values JSON; e.g.
-    #        train_bench.py 8 16 top_kernel=3)
+    #        train_bench.py 8 16 top_kernel=3
+    #        train_bench.py 2 internal_density=1000 remat=true)
+    # keys naming main() parameters (internal_density, n_stations, …) bind
+    # there; the rest are ConvNPConfig overrides.
     batches, overrides = [], {}
     for a in sys.argv[1:]:
         if "=" in a:
