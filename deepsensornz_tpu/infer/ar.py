@@ -11,10 +11,11 @@ white noise.
 
 TPU-first mechanics: the context set designated as the AR feedback channel
 is pre-padded with ``M`` empty slots; each AR step fills a block of slots
-via ``dynamic_update_slice`` and re-runs the SAME jitted forward — one
-compiled program regardless of block index (static shapes throughout). The
-block loop is a host loop over a single XLA executable; per-sample chains
-reuse it too.
+via ``dynamic_update_slice`` and re-runs the SAME forward — static shapes
+throughout. The whole block chain is ONE jitted ``lax.scan`` (round 2:
+the former host loop cost ~1.4 s/block through a remote-device link; the
+scan keeps every block on device and downloads once at the end —
+24 flagship tasks × 512 targets × 8 blocks: 11.5 s → see perf/ar_bench.py).
 """
 
 from __future__ import annotations
@@ -77,16 +78,50 @@ def ar_sample(
 
     block = -(-M // n_blocks)  # ceil
     n_blocks = -(-M // block)
+    pad = n_blocks * block - M
+    chain = _chain_fn(model, B, M, dy, idx, base_n, n_extra, block, n_blocks, pad)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def ar_step(params, task_ext, order, start, dup_keep, key):
-        """Predict at the next block of (permuted) targets, sample, and
-        write the samples into the AR context slots.
+    out = np.zeros((n_samples, B, M, dy), np.float32)
+    for s in range(n_samples):
+        key = jax.random.fold_in(rng, s)
+        korder, kblocks = jax.random.split(key)
+        # random visit order per sample; pad indices revisit already-sampled
+        # targets — excluded from output/feedback via dup_keep in _chain_fn
+        perm = jax.vmap(lambda k: jax.random.permutation(k, M))(
+            jax.random.split(korder, B)
+        )
+        order = jnp.concatenate([perm, perm[:, :pad]], axis=1) if pad else perm
+        task_ext = task.replace(points=tuple(
+            _extend_point_context(p, n_blocks * block) if i == idx else p
+            for i, p in enumerate(task.points)
+        ))
+        out[s] = np.asarray(chain(params, task_ext, order, kblocks))
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _chain_fn(model, B, M, dy, idx, base_n, n_extra, block, n_blocks, pad):
+    """Build the jitted AR chain for a (model, geometry) pair ONCE — cached
+    so repeated ``ar_sample`` calls (operational loops, benchmarks) reuse
+    the compiled executable instead of retracing a fresh closure."""
+    lik = model.cfg.make_likelihood()
+
+    def ar_step(params, task_ext, order, b, key):
+        """Predict at block ``b`` of (permuted) targets, sample, and write
+        the samples into the AR context slots.
 
         ``dup_keep`` (block,): 0 where the block entry is a pad-duplicate of
         an already-visited target (the last block when M % block != 0) —
         its feedback mask is zeroed so the final block never sees two
         conflicting pseudo-observations at the same coordinate."""
+        start = b * block
+        # pad-duplicate guard, traced from the block index
+        dup_keep = jnp.where(
+            jnp.logical_and(b == n_blocks - 1,
+                            jnp.arange(block) >= block - pad) if pad else
+            jnp.zeros(block, bool),
+            0.0, 1.0,
+        ).astype(jnp.float32)
         blk = jax.lax.dynamic_slice(order, (0, start), (B, block))  # (B, block)
         xt_blk = jnp.take_along_axis(task_ext.xt, blk[..., None], axis=1)
         aux_blk = (
@@ -118,39 +153,29 @@ def ar_sample(
             PointContext(x=new_x, y=new_y, mask=new_m) if i == idx else p
             for i, p in enumerate(task_ext.points)
         )
-        return task_ext.replace(points=points), sample, blk
+        return task_ext.replace(points=points), sample, blk, dup_keep
 
-    out = np.zeros((n_samples, B, M, dy), np.float32)
-    pad = n_blocks * block - M
-    for s in range(n_samples):
-        key = jax.random.fold_in(rng, s)
-        korder, kblocks = jax.random.split(key)
-        # random visit order per sample; pad indices revisit already-sampled
-        # targets — excluded from the output write via `keep` below and
-        # from the AR feedback via `dup_keep` in ar_step
-        perm = jax.vmap(lambda k: jax.random.permutation(k, M))(
-            jax.random.split(korder, B)
-        )
-        order = jnp.concatenate([perm, perm[:, :pad]], axis=1) if pad else perm
-        task_ext = task.replace(points=tuple(
-            _extend_point_context(p, n_blocks * block) if i == idx else p
-            for i, p in enumerate(task.points)
-        ))
-        for b in range(n_blocks):
+    @jax.jit
+    def run_chain(params, task_ext, order, kblocks):
+        """The whole AR chain as ONE compiled scan: no host interaction
+        between blocks (each host round trip costs ~30 ms + transfers
+        through a remote-device link). Returns the (B, M, dy) sample."""
+        out0 = jnp.zeros((B, M + 1, dy), jnp.float32)  # slot M = dump for dups
+
+        def body(carry, b):
+            task_ext, out = carry
             kb = jax.random.fold_in(kblocks, b)
-            dup_keep = np.ones(block, np.float32)
-            if pad and b == n_blocks - 1:
-                dup_keep[block - pad:] = 0.0
-            task_ext, sample, blk = ar_step(
-                params, task_ext, order, jnp.asarray(b * block),
-                jnp.asarray(dup_keep), kb
-            )
-            blk_np = np.asarray(blk)
-            samp_np = np.asarray(sample)
-            for bi in range(B):
-                sel = blk_np[bi]
-                keep = np.ones(len(sel), bool)
-                if pad and b == n_blocks - 1:
-                    keep[block - pad:] = False
-                out[s, bi, sel[keep]] = samp_np[bi][keep]
-    return out
+            task_ext, sample, blk, dup_keep = ar_step(
+                params, task_ext, order, b, kb)
+            # scatter this block's samples; pad-duplicates go to the dump
+            # slot so the FIRST visit's sample is what survives (host-loop
+            # semantics)
+            tgt = jnp.where(dup_keep[None, :] > 0, blk, M)       # (B, block)
+            out = out.at[jnp.arange(B)[:, None], tgt].set(sample)
+            return (task_ext, out), None
+
+        (_, out), _ = jax.lax.scan(body, (task_ext, out0),
+                                   jnp.arange(n_blocks))
+        return out[:, :M]
+
+    return run_chain
