@@ -131,21 +131,26 @@ class GreedyAlgorithm:
                    idx, dy):
         """All greedy rounds on device: scan over placement slots."""
 
-        def body(task, t):
+        S = cand.shape[0]
+
+        def body(carry, t):
+            task, taken = carry   # taken: (S,) 1.0 where already placed
             probe = self._probe_at(task, cand, cand_aux)
             c_mean, c_std = self._predict(params, probe)
             if self.mode == "fast":
-                best = jnp.argmax(c_std[0, :, 0])
+                # placed candidates leave the pool (deepsensor semantics)
+                best = jnp.argmax(jnp.where(taken > 0, -jnp.inf, c_std[0, :, 0]))
                 score = c_std[0, best, 0]
             else:
                 scores = self._exhaustive_scores_dev(task, cand, c_mean, idx)
-                best = jnp.argmin(scores)
+                best = jnp.argmin(jnp.where(taken > 0, jnp.inf, scores))
                 score = scores[best]
             new_task = self._set_context_slot(
                 task, idx, base_n + t, cand[best], c_mean[0, best], dy)
-            return new_task, (cand[best], score)
+            return (new_task, taken.at[best].set(1.0)), (cand[best], score)
 
-        final, (xs, scores) = jax.lax.scan(body, task, jnp.arange(n_placements))
+        (final, _), (xs, scores) = jax.lax.scan(
+            body, (task, jnp.zeros(S, jnp.float32)), jnp.arange(n_placements))
         return final, xs, scores
 
     # -- helpers ------------------------------------------------------------------------

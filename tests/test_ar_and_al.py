@@ -95,3 +95,14 @@ def test_greedy_exhaustive_reduces_stddev(setting):
     mean1, std1 = alg._predict(params, final)
     after = float(acq(mean1, std1, final.yt_mask)[0])
     assert after <= before + 1e-6
+
+
+def test_greedy_never_places_same_candidate_twice(setting):
+    """Placed candidates leave the pool (deepsensor GreedyAlgorithm
+    semantics): n_placements distinct sites even when score gaps are tiny."""
+    model, params, task = setting
+    cand = np.random.default_rng(2).random((5, 2)).astype(np.float32)
+    alg = GreedyAlgorithm(model, params, mode="exhaustive")
+    out = alg.run(task, cand, n_placements=4)
+    seen = {tuple(np.round(p, 6)) for p in out["placements"]}
+    assert len(seen) == 4
