@@ -45,6 +45,9 @@ def main(argv=None):
     ap.add_argument("--out_dir", default="outputs")
     ap.add_argument("--highres_factor", type=int, default=10)
     ap.add_argument("--remove_stations", nargs="*", default=DEFAULT_HOLDOUT_STATIONS)
+    ap.add_argument("--transfer_dtype", default="float16",
+                    help="device->host dtype for prediction maps "
+                         "('float16' halves the transfer; 'none' = float32)")
     ns = ap.parse_args(argv)
 
     from deepsensornz_tpu.data.sources.era5 import ERA5Source
@@ -57,7 +60,9 @@ def main(argv=None):
         paths["save_model"]["fpath"], ns.var, ns.model_name
     )
     dem = TopographySource(paths["topography"]["file"]).load()
-    validate = ValidateERA(model_dir, dem, highres_factor=ns.highres_factor)
+    tdt = None if ns.transfer_dtype in ("none", "") else ns.transfer_dtype
+    validate = ValidateERA(model_dir, dem, highres_factor=ns.highres_factor,
+                           transfer_dtype=tdt)
     era5 = ERA5Source(paths["era5"]["parent"])
     stations = StationSource(paths["stations"]["parent"])
 

@@ -383,10 +383,13 @@ class ValidateERA:
         run: Optional[dict] = None,
         pred_grid: Optional[Field] = None,
         predictor: Optional[Predictor] = None,
+        transfer_dtype: Optional[str] = None,
     ):
         """Load from ``model_dir``, or reuse an already-loaded ``run`` (and
         optionally its ``pred_grid``/``predictor`` — the WRF cycle shares
-        them instead of re-jitting)."""
+        them instead of re-jitting). ``transfer_dtype`` ("float16") halves
+        device→host bytes — the dominant cost of operational serving over a
+        remote host link."""
         self.run = run or load_run(model_dir)
         self.dem = dem
         # prediction grid = raw DEM coarsened by the training highres factor
@@ -395,6 +398,7 @@ class ValidateERA:
         self.predictor = predictor or Predictor(
             self.run["model"], self.run["params"], self.run["data_processor"],
             self.run["task_loader"].target_var_IDs[0],
+            transfer_dtype=transfer_dtype,
         )
 
     def predict(
