@@ -160,6 +160,31 @@ def main(argv=None):
         "compute_tasks_per_sec": round(ns.hours / t_compute, 1),
     }), flush=True)
 
+    # ---- float16 transfer mode (Predictor(transfer_dtype="float16")) ------
+    fwd16 = _grid_forward_fn(model, 0, "float16")
+    outs16 = [fwd16(params, dev_tasks[0], (xt1, xt2, aux_grid), seed)]
+    jax.block_until_ready(outs16[0]["mean"])   # compile
+    outs16 = []
+    tc = time.perf_counter()
+    for t in dev_tasks:
+        outs16.append(fwd16(params, t, (xt1, xt2, aux_grid), seed))
+    float(np.asarray(jnp.sum(outs16[-1]["mean"][0, 0]).astype(jnp.float32)))
+    t_compute16 = time.perf_counter() - tc
+    td = time.perf_counter()
+    m16 = [np.asarray(o["mean"][..., 0]) for o in outs16]
+    s16 = [np.asarray(o["std"][..., 0]) for o in outs16]
+    t_download16 = time.perf_counter() - td
+    mb16 = sum(a.nbytes for a in m16 + s16) / 1e6
+    err = float(np.nanmax([np.abs(a.astype(np.float32) - b).max()
+                           for a, b in zip(m16, month_mean)]))
+    print(json.dumps({
+        "metric": "month_device_resident_f16_transfer",
+        "compute_s": round(t_compute16, 2),
+        "download_s": round(t_download16, 2),
+        "download_mb": round(mb16, 1),
+        "max_abs_diff_vs_f32": round(err, 5),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
