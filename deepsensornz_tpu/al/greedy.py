@@ -31,16 +31,6 @@ import numpy as np
 from deepsensornz_tpu.task.task import PointContext, TaskBatch
 
 
-def _match_context_channels(values: jnp.ndarray, ctx_channels: int) -> jnp.ndarray:
-    """Zero-pad feedback values to the context set's channel count (the
-    extra channels are aux_at_contexts, unknown at hypothetical sites)."""
-    extra = ctx_channels - values.shape[-1]
-    if extra <= 0:
-        return values[..., :ctx_channels]
-    pad = jnp.zeros(values.shape[:-1] + (extra,), values.dtype)
-    return jnp.concatenate([values, pad], axis=-1)
-
-
 class Stddev:
     """Acquisition: mean predictive standard deviation over targets
     (lower after adding a sensor = better placement)."""
@@ -93,6 +83,23 @@ class GreedyAlgorithm:
         idx = self.ar_context_idx % len(task.points)
         dy = self.model.cfg.dim_yt
         S = len(candidates)
+        if n_placements > S:
+            raise ValueError(
+                f"n_placements={n_placements} exceeds the {S} candidates — "
+                "placed candidates leave the pool, so each placement needs "
+                "a fresh site"
+            )
+        if task.points[idx].y.shape[-1] < dy:
+            raise ValueError(
+                f"AL context set has {task.points[idx].y.shape[-1]} channels "
+                f"< dim_yt={dy} (wrong ar_context_idx?)"
+            )
+        if task.yt_aux is not None and candidate_aux is None:
+            raise ValueError(
+                "model was trained with aux_at_targets; pass candidate_aux "
+                "(aux channels at the candidate sites) — zero-filled aux "
+                "would score every candidate at the dataset-mean covariates"
+            )
         cand = jnp.asarray(candidates, jnp.float32)
 
         # pre-pad the feedback context with n_placements masked slots so
@@ -133,6 +140,21 @@ class GreedyAlgorithm:
 
         S = cand.shape[0]
 
+        ctx_c = task.points[idx].y.shape[-1]
+
+        def feedback(y_vals, aux_rows):
+            """Context-channel feedback: observed value(s) + the candidate's
+            aux prefix for the aux_at_contexts channels (zeros only when no
+            candidate aux exists — matches ar.py's feedback convention)."""
+            n_extra = ctx_c - dy
+            if n_extra == 0:
+                return y_vals[..., :dy]
+            if cand_aux is not None and cand_aux.shape[-1] >= n_extra:
+                extra = aux_rows[..., :n_extra]
+            else:
+                extra = jnp.zeros(y_vals.shape[:-1] + (n_extra,), jnp.float32)
+            return jnp.concatenate([y_vals[..., :dy], extra], axis=-1)
+
         def body(carry, t):
             task, taken = carry   # taken: (S,) 1.0 where already placed
             probe = self._probe_at(task, cand, cand_aux)
@@ -142,11 +164,20 @@ class GreedyAlgorithm:
                 best = jnp.argmax(jnp.where(taken > 0, -jnp.inf, c_std[0, :, 0]))
                 score = c_std[0, best, 0]
             else:
-                scores = self._exhaustive_scores_dev(task, cand, c_mean, idx)
+                hyp_feed = feedback(
+                    c_mean[0],
+                    cand_aux if cand_aux is not None else jnp.zeros((S, 0)),
+                )                                               # (S, ctx_c)
+                scores = self._exhaustive_scores_dev(
+                    params, task, cand, hyp_feed, idx)
                 best = jnp.argmin(jnp.where(taken > 0, jnp.inf, scores))
                 score = scores[best]
+            placed_feed = feedback(
+                c_mean[0, best],
+                cand_aux[best] if cand_aux is not None else jnp.zeros((0,)),
+            )                                                   # (ctx_c,)
             new_task = self._set_context_slot(
-                task, idx, base_n + t, cand[best], c_mean[0, best], dy)
+                task, idx, base_n + t, cand[best], placed_feed)
             return (new_task, taken.at[best].set(1.0)), (cand[best], score)
 
         (final, _), (xs, scores) = jax.lax.scan(
@@ -171,10 +202,12 @@ class GreedyAlgorithm:
             yt_aux=aux,
         )
 
-    def _exhaustive_scores_dev(self, task, cand, c_mean, idx) -> jnp.ndarray:
+    def _exhaustive_scores_dev(self, params, task, cand, feed, idx) -> jnp.ndarray:
         """Score every candidate in one batched forward: candidate s becomes
-        an extra context point of hypothetical task s. Device-native (runs
-        inside the jitted round)."""
+        an extra context point (value+aux feedback ``feed[s]``) of
+        hypothetical task s. Device-native (runs inside the jitted round);
+        ``params`` is threaded through so the compiled chain never bakes
+        the weights in as constants."""
         S = cand.shape[0]
 
         def tile(leaf):
@@ -183,26 +216,24 @@ class GreedyAlgorithm:
         tiled = jax.tree.map(lambda l: tile(l), task)
         pc = tiled.points[idx]
         new_x = jnp.concatenate([pc.x, cand[:, None, :]], axis=1)
-        feed = _match_context_channels(c_mean[0][:, None, :], pc.y.shape[-1])
-        new_y = jnp.concatenate([pc.y, feed], axis=1)
+        new_y = jnp.concatenate([pc.y, feed[:, None, :]], axis=1)
         new_m = jnp.concatenate([pc.mask, jnp.ones((S, 1), jnp.float32)], axis=1)
         points = tuple(
             PointContext(x=new_x, y=new_y, mask=new_m) if i == idx else p
             for i, p in enumerate(tiled.points)
         )
         tiled = tiled.replace(points=points)
-        mean, std = self._predict(self.params, tiled)
+        mean, std = self._predict(params, tiled)
         return self.acquisition(mean, std, tiled.yt_mask)
 
     @staticmethod
-    def _set_context_slot(task, idx, slot, x_new, y_new, dy):
-        """Write a placed point into pre-padded context slot ``slot`` —
-        shapes never change, so every placement reuses the same compiled
-        programs."""
+    def _set_context_slot(task, idx, slot, x_new, feed):
+        """Write a placed point (value+aux feedback ``feed``) into pre-padded
+        context slot ``slot`` — shapes never change, so every placement
+        reuses the same compiled programs."""
         pc = task.points[idx]
-        feed = _match_context_channels(y_new[None, None, :dy], pc.y.shape[-1])
         new_x = jax.lax.dynamic_update_slice(pc.x, x_new[None, None, :], (0, slot, 0))
-        new_y = jax.lax.dynamic_update_slice(pc.y, feed, (0, slot, 0))
+        new_y = jax.lax.dynamic_update_slice(pc.y, feed[None, None, :], (0, slot, 0))
         new_m = jax.lax.dynamic_update_slice(
             pc.mask, jnp.ones((1, 1), jnp.float32), (0, slot))
         points = tuple(

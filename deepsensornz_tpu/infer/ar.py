@@ -59,13 +59,11 @@ def ar_sample(
     must equal ``dy``).
     """
     rng = jax.random.key(0) if rng is None else rng
-    lik = model.cfg.make_likelihood()
     B, M, _ = task.xt.shape
     dy = model.cfg.dim_yt
     idx = ar_context_idx % len(task.points)
     base_n = task.points[idx].x.shape[1]
     ctx_c = task.points[idx].y.shape[-1]
-    aux_c = task.yt_aux.shape[-1] if task.yt_aux is not None else 0
     n_extra = ctx_c - dy
     if n_extra < 0:
         raise ValueError(
@@ -81,6 +79,11 @@ def ar_sample(
     pad = n_blocks * block - M
     chain = _chain_fn(model, B, M, dy, idx, base_n, n_extra, block, n_blocks, pad)
 
+    # extended context built ONCE (identical for every sample chain)
+    task_ext = task.replace(points=tuple(
+        _extend_point_context(p, n_blocks * block) if i == idx else p
+        for i, p in enumerate(task.points)
+    ))
     out = np.zeros((n_samples, B, M, dy), np.float32)
     for s in range(n_samples):
         key = jax.random.fold_in(rng, s)
@@ -91,10 +94,6 @@ def ar_sample(
             jax.random.split(korder, B)
         )
         order = jnp.concatenate([perm, perm[:, :pad]], axis=1) if pad else perm
-        task_ext = task.replace(points=tuple(
-            _extend_point_context(p, n_blocks * block) if i == idx else p
-            for i, p in enumerate(task.points)
-        ))
         out[s] = np.asarray(chain(params, task_ext, order, kblocks))
     return out
 

@@ -114,6 +114,14 @@ class Predictor:
         self.likelihood = model.cfg.make_likelihood()
         # halve device→host bytes for remote serving (see _grid_forward_fn)
         self.transfer_dtype = transfer_dtype
+        if model.cfg.dim_yt != 1:
+            # the post-processing below slices channel 0; refusing here
+            # beats silently dropping channels of a multi-output model
+            raise ValueError(
+                f"Predictor handles dim_yt=1 models; got dim_yt="
+                f"{model.cfg.dim_yt} (use the raw model.apply/likelihood "
+                "API for multi-channel outputs)"
+            )
 
     # -- jitted cores --------------------------------------------------------
 
@@ -148,6 +156,10 @@ class Predictor:
         its channels are resampled onto the prediction grid.
         ``post_transform(mean, std) -> (mean, std)`` hook covers variable-
         specific output maps (humidity interval shift, ``preprocess.py:233-235``).
+        CONTRACT: the hook is also applied to joint samples as
+        ``post_transform(samples, None)`` — it must accept ``std=None``
+        (apply the mean map, return the second element unchanged), as
+        ``pipeline.validate.humidity_post_transform`` does.
         """
         lat = target_elev.coords[target_elev.dims[-2]]
         lon = target_elev.coords[target_elev.dims[-1]]
@@ -346,8 +358,15 @@ class Predictor:
         if self.target_var in self.dp.config:
             return self.target_var
         hits = [k for k in self.dp.config if k.startswith(self.target_var)]
-        if hits:
+        if len(hits) == 1:
             return hits[0]
+        if hits:
+            # an arbitrary pick here would silently unnormalise with the
+            # wrong variable's stats
+            raise KeyError(
+                f"target {self.target_var!r} matches multiple stats entries "
+                f"{hits}; use the exact name"
+            )
         raise KeyError(
             f"no normalisation stats for target {self.target_var!r}; "
             f"have {list(self.dp.config)}"

@@ -69,9 +69,11 @@ def test_ar_feedback_changes_distribution(setting):
 
 def test_greedy_fast_mode(setting):
     model, params, task = setting
-    cand = np.random.default_rng(0).random((10, 2)).astype(np.float32)
+    rng = np.random.default_rng(0)
+    cand = rng.random((10, 2)).astype(np.float32)
+    aux = rng.normal(size=(10, task.yt_aux.shape[-1])).astype(np.float32)
     alg = GreedyAlgorithm(model, params, mode="fast")
-    out = alg.run(task, cand, n_placements=3)
+    out = alg.run(task, cand, n_placements=3, candidate_aux=aux)
     assert out["placements"].shape == (3, 2)
     assert len(out["acquisition_history"]) == 3
     # placed points must come from the candidate set
@@ -90,7 +92,9 @@ def test_greedy_exhaustive_reduces_stddev(setting):
     mean0, std0 = alg._predict(params, task)
     before = float(acq(mean0, std0, task.yt_mask)[0])
 
-    out = alg.run(task, cand, n_placements=2)
+    aux = np.random.default_rng(1).normal(
+        size=(6, task.yt_aux.shape[-1])).astype(np.float32)
+    out = alg.run(task, cand, n_placements=2, candidate_aux=aux)
     final = out["final_task"]
     mean1, std1 = alg._predict(params, final)
     after = float(acq(mean1, std1, final.yt_mask)[0])
@@ -103,6 +107,22 @@ def test_greedy_never_places_same_candidate_twice(setting):
     model, params, task = setting
     cand = np.random.default_rng(2).random((5, 2)).astype(np.float32)
     alg = GreedyAlgorithm(model, params, mode="exhaustive")
-    out = alg.run(task, cand, n_placements=4)
+    aux = np.random.default_rng(2).normal(
+        size=(5, task.yt_aux.shape[-1])).astype(np.float32)
+    out = alg.run(task, cand, n_placements=4, candidate_aux=aux)
     seen = {tuple(np.round(p, 6)) for p in out["placements"]}
     assert len(seen) == 4
+
+
+def test_greedy_input_validation(setting):
+    """Misuse fails loudly: more placements than candidates, and a missing
+    candidate_aux on an aux-trained model (zero-filled aux would score
+    candidates at dataset-mean covariates)."""
+    model, params, task = setting
+    cand = np.random.default_rng(3).random((3, 2)).astype(np.float32)
+    alg = GreedyAlgorithm(model, params)
+    with pytest.raises(ValueError, match="exceeds the 3 candidates"):
+        alg.run(task, cand, n_placements=4,
+                candidate_aux=np.zeros((3, task.yt_aux.shape[-1]), np.float32))
+    with pytest.raises(ValueError, match="candidate_aux"):
+        alg.run(task, cand, n_placements=1)
