@@ -108,9 +108,11 @@ def test_sink_greedy_placement(sink):
 
     base = raw[0]
     task = training.task_loader([base.coords["time"][0]], seed_override=3)
-    cand = np.random.default_rng(0).random((5, 2)).astype(np.float32)
+    rng = np.random.default_rng(0)
+    cand = rng.random((5, 2)).astype(np.float32)
+    aux = rng.normal(size=(5, task.yt_aux.shape[-1])).astype(np.float32)
     alg = GreedyAlgorithm(training.model, result["params"], mode="fast")
-    placed = alg.run(task, cand, n_placements=2)
+    placed = alg.run(task, cand, n_placements=2, candidate_aux=aux)
     assert placed["placements"].shape == (2, 2)
 
 
