@@ -115,6 +115,9 @@ def encode_offgrid(
     """Fused SetConv encode. Returns (B, H, W, C+1), density channel first."""
     B, N, C = y.shape
     H, W = x1g.shape[0], x2g.shape[0]
+    if N == 0:  # degenerate empty point set: pure-density zeros, like the
+        # reference path (the N-block arithmetic below would divide by zero)
+        return jnp.zeros((B, H, W, C + 1), jnp.float32)
     th = min(th, H)
     tw = min(tw, W)
     # the N-block is yaug's LAST block dim: keep it 128-aligned (Mosaic

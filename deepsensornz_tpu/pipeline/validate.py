@@ -275,11 +275,12 @@ class Validate:
                     break
         return {"bands": band_errs, "stations": stations}
 
-    def calculate_loss_base(self, base_field: Field, station_df) -> dict:
-        """Baseline: raw base field (ERA5) sampled at station locations vs
-        obs (``calculate_loss_era5``, ``validate.py:319-351``)."""
+    @staticmethod
+    def _base_errors_at_stations(base_field: Field, station_df):
+        """Yield ((lat, lon), base − obs) for every finite station sample —
+        the one sampling loop behind both base-baseline reporters (a fix to
+        the nearest-sel/finite handling applies everywhere)."""
         col = [c for c in station_df.columns if c.endswith("_station")][0]
-        errs = []
         for t, grp in station_df.groupby("time"):
             try:
                 sl = base_field.sel(time=np.datetime64(t), method="nearest")
@@ -289,8 +290,15 @@ class Validate:
                 v = sl.sel(latitude=row["latitude"], longitude=row["longitude"],
                            method="nearest")
                 if np.isfinite(v.data) and np.isfinite(row[col]):
-                    errs.append(float(v.data) - float(row[col]))
-        errs = np.asarray(errs)
+                    key = (round(float(row["latitude"]), 5),
+                           round(float(row["longitude"]), 5))
+                    yield key, float(v.data) - float(row[col])
+
+    def calculate_loss_base(self, base_field: Field, station_df) -> dict:
+        """Baseline: raw base field (ERA5) sampled at station locations vs
+        obs (``calculate_loss_era5``, ``validate.py:319-351``)."""
+        errs = np.asarray([e for _, e in
+                           self._base_errors_at_stations(base_field, station_df)])
         return {
             "rmse": float(np.sqrt(np.mean(errs**2))) if len(errs) else np.nan,
             "bias": float(np.mean(errs)) if len(errs) else np.nan,
@@ -308,7 +316,6 @@ class Validate:
         higher-resolution base product (the notebook's HiRes ERA5): pass the
         HiRes field as ``base_field`` to reproduce that study.
         """
-        col = [c for c in station_df.columns if c.endswith("_station")][0]
         if dates is not None:
             # compare at ns resolution: datetime64 equality/hashing is
             # unit-sensitive (a [D] and [ns] stamp of the same instant differ)
@@ -317,18 +324,8 @@ class Validate:
                 np.datetime64(t, "ns").astype(np.int64) in want
                 for t in station_df["time"]]]
         per: dict[tuple, list] = {}
-        for t, grp in station_df.groupby("time"):
-            try:
-                sl = base_field.sel(time=np.datetime64(t), method="nearest")
-            except Exception:
-                continue
-            for _, row in grp.iterrows():
-                v = sl.sel(latitude=row["latitude"], longitude=row["longitude"],
-                           method="nearest")
-                if np.isfinite(v.data) and np.isfinite(row[col]):
-                    k = (round(float(row["latitude"]), 5),
-                         round(float(row["longitude"]), 5))
-                    per.setdefault(k, []).append(abs(float(v.data) - float(row[col])))
+        for k, e in self._base_errors_at_stations(base_field, station_df):
+            per.setdefault(k, []).append(abs(e))
         stats = {k: (float(np.mean(e)), float(np.std(e))) for k, e in per.items()}
         means = [m for m, _ in stats.values()]
         stds = [s for _, s in stats.values()]
@@ -361,10 +358,16 @@ class Validate:
         }
 
     def stations_in_date_range(self, station_df, date_range) -> list:
-        """Stations reporting over the whole range (``validate.py:474-509``)."""
+        """Stations reporting over the whole range (``validate.py:474-509``).
+
+        Keys by ``station_name`` when present, else ``station_id`` — the
+        same convention as :func:`remove_stations_from_frame` (synthetic
+        frames carry only ids)."""
+        key = ("station_name" if "station_name" in station_df.columns
+               else "station_id")
         lo, hi = np.datetime64(date_range[0]), np.datetime64(date_range[-1])
         names = []
-        for name, grp in station_df.groupby("station_name"):
+        for name, grp in station_df.groupby(key):
             t = grp["time"].to_numpy().astype("datetime64[s]")
             if t.min() <= lo and t.max() >= hi:
                 names.append(name)
@@ -392,6 +395,11 @@ class ValidateERA:
         remote host link."""
         self.run = run or load_run(model_dir)
         self.dem = dem
+        if pred_grid is None and dem is None:
+            raise ValueError(
+                "ValidateERA needs a prediction grid: pass dem (coarsened by "
+                "highres_factor) or an explicit pred_grid"
+            )
         # prediction grid = raw DEM coarsened by the training highres factor
         # + sea mask from its NaNs (validate_ERA.py:48-57)
         self.pred_grid = pred_grid if pred_grid is not None else dem.coarsen(highres_factor)

@@ -22,6 +22,7 @@ TPU-native mechanics:
 
 from __future__ import annotations
 
+import functools as _functools
 import re
 import time
 from typing import Callable, Optional, Sequence
@@ -134,6 +135,14 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+@_functools.lru_cache(maxsize=32)
+def _default_train_step(model) -> Callable:
+    """One jitted default step per (hashable) model: a fresh jit object per
+    ``train_epoch`` call would recompile the whole train program every
+    epoch (~minutes each through a remote-compile relay)."""
+    return make_train_step(model)
+
+
 def train_epoch(model, state: TrainState, tasks: TaskBatch, batch_size: int = 8,
                 lr: float = 5e-5, shuffle: bool = True,
                 step_fn: Optional[Callable] = None,
@@ -144,7 +153,7 @@ def train_epoch(model, state: TrainState, tasks: TaskBatch, batch_size: int = 8,
     batch_size=, opt=)`` (call site ``train.py:388-394``): shuffles, steps
     per batch, returns the per-batch loss list.
     """
-    step_fn = step_fn or make_train_step(model)
+    step_fn = step_fn or _default_train_step(model)
     rng = rng or np.random.default_rng(0)
     n = tasks.batch_size
     batch_size = min(batch_size, n)  # tiny datasets: one partial batch
@@ -172,6 +181,11 @@ def init_state(model, rng, example_task: TaskBatch, weight_decay: float = 0.0,
                params=None) -> TrainState:
     if params is None:
         params = model.init(rng, example_task)
+    else:
+        # COPY caller-supplied params: the train step donates its state
+        # (donate_argnums), so aliasing the caller's arrays into the state
+        # would delete the caller's own buffers on the first step
+        params = jax.tree.map(jnp.array, params)
     opt_state = _adamw_core(weight_decay).init(params)
     return TrainState(params=params, opt_state=opt_state, step=jnp.asarray(0))
 
@@ -200,6 +214,15 @@ class PlateauScheduler:
                 self.bad_epochs = 0
         return self.lr
 
+    def state_dict(self) -> dict:
+        return {"lr": self.lr, "best": float(self.best),
+                "bad_epochs": self.bad_epochs}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.lr = float(d.get("lr", self.lr))
+        self.best = float(d.get("best", self.best))
+        self.bad_epochs = int(d.get("bad_epochs", self.bad_epochs))
+
 
 class EarlyStopping:
     """Stop after ``patience`` epochs without val improvement
@@ -217,6 +240,13 @@ class EarlyStopping:
             return False
         self.bad_epochs += 1
         return self.bad_epochs >= self.patience
+
+    def state_dict(self) -> dict:
+        return {"best": float(self.best), "bad_epochs": self.bad_epochs}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = float(d.get("best", self.best))
+        self.bad_epochs = int(d.get("bad_epochs", self.bad_epochs))
 
 
 class Trainer:
@@ -266,6 +296,8 @@ class Trainer:
                            self.weight_decay, params=params)
         start_epoch = 0
         prev_train, prev_val = [], []
+        sched = PlateauScheduler(self.lr0, plateau_factor, plateau_patience)
+        stopper = EarlyStopping(early_stop_patience)
         if resume_from is not None:
             loaded = load_checkpoint(resume_from, state.params, state.opt_state)
             state = TrainState(
@@ -277,25 +309,29 @@ class Trainer:
             prev_train = list(meta.get("train_losses", []))
             prev_val = list(meta.get("val_losses", []))
             start_epoch = int(meta.get("epoch", -1)) + 1
-        sched = PlateauScheduler(self.lr0, plateau_factor, plateau_patience)
-        stopper = EarlyStopping(early_stop_patience)
+            # restore the LR schedule and patience counters: without these a
+            # resumed run retrains at the initial LR with reset plateau/
+            # early-stop state and diverges from the uninterrupted run
+            sched.load_state_dict(meta.get("sched", {}))
+            stopper.load_state_dict(meta.get("stopper", {}))
         n = train_tasks.batch_size
         batch_size = min(batch_size, n)  # tiny datasets: one partial batch
         order_rng = np.random.default_rng(0)
         best_val = min(prev_val) if prev_val else np.inf
-        best_params = state.params
+        # snapshots must COPY: the donated train step deletes the buffers of
+        # every state it consumes, so an alias into state.params becomes a
+        # deleted array as soon as the next epoch steps (this returned
+        # deleted arrays whenever the best epoch preceded the last)
+        snap = lambda p: jax.tree.map(jnp.array, p)  # noqa: E731
+        best_params = snap(state.params)
         train_losses, val_losses = prev_train, prev_val
-        lr = self.lr0
+        lr = sched.lr   # = lr0 fresh; restored value on resume
         for epoch in range(start_epoch, n_epochs):
             t0 = time.time()
-            idx = order_rng.permutation(n) if shuffle else np.arange(n)
-            losses = []
-            for sel in _batches(idx, batch_size):
-                batch = _take_padded(train_tasks, sel, batch_size)
-                state, loss = self.train_step(state, batch, lr)
-                losses.append(loss)  # device array: steps pipeline without
-                # a per-step host round trip (epoch-end fetch below)
-            losses = [float(l) for l in losses]
+            state, losses = train_epoch(
+                self.model, state, train_tasks, batch_size=batch_size, lr=lr,
+                shuffle=shuffle, step_fn=self.train_step, rng=order_rng,
+            )
             finite = [l for l in losses if np.isfinite(l)]  # NaN filter (train.py:395)
             train_loss = float(np.mean(finite)) if finite else np.nan
             train_losses.append(train_loss)
@@ -308,7 +344,7 @@ class Trainer:
 
             if np.isfinite(val_loss) and val_loss < best_val:
                 best_val = val_loss
-                best_params = state.params
+                best_params = snap(state.params)
                 if checkpoint_dir is not None:
                     save_checkpoint(
                         checkpoint_dir, state.params,
@@ -317,7 +353,9 @@ class Trainer:
                                   "train_losses": train_losses,
                                   "val_losses": val_losses,
                                   "best_val": best_val,
-                                  "epoch": epoch},
+                                  "epoch": epoch,
+                                  "sched": sched.state_dict(),
+                                  "stopper": stopper.state_dict()},
                     )
             lr = sched.step(val_loss)
             if verbose:

@@ -187,3 +187,44 @@ def test_resume_from_checkpoint(setting, tmp_path):
     assert len(out2["train_losses"]) == 4
     assert out2["train_losses"][:2] == out1["train_losses"][:2]
     assert np.isfinite(out2["best_val"])
+
+
+def test_donated_step_does_not_delete_caller_params(setting):
+    """init_state COPIES caller params and fit snapshots best params: the
+    donated train step deletes the buffers of every state it consumes, so
+    aliases would become deleted arrays (returned-deleted-params bug)."""
+    model, tasks, val = setting
+    task0 = take(tasks, [0, 1])
+    params0 = model.init(jax.random.key(0), task0)
+    state = init_state(model, jax.random.key(0), task0, params=params0)
+    step = make_train_step(model)  # donate=True
+    state, _ = step(state, task0, 1e-3)
+    # the caller's own tree must survive the donation
+    for leaf in jax.tree.leaves(params0):
+        np.asarray(leaf)
+
+    # fit's returned best params must be live arrays even when training
+    # continues past the best epoch (high LR forces val to bounce)
+    tr = Trainer(model, lr=0.3)
+    result = tr.fit(tasks, val, n_epochs=4, batch_size=4, verbose=False)
+    for leaf in jax.tree.leaves(result["params"]):
+        np.asarray(leaf)  # raises RuntimeError("deleted") on the old bug
+
+
+def test_resume_restores_schedule_state(setting, tmp_path):
+    """Checkpoints carry plateau-LR and early-stop state; a resumed run
+    continues at the decayed LR instead of the initial one."""
+    model, tasks, val = setting
+    s = PlateauScheduler(lr=1e-3, factor=0.1, patience=0)
+    s.step(1.0); s.step(2.0); s.step(2.0)   # two bad epochs → two decays
+    d = s.state_dict()
+    s2 = PlateauScheduler(lr=1e-3, factor=0.1, patience=0)
+    s2.load_state_dict(d)
+    assert s2.lr == pytest.approx(s.lr) and s.lr < 1e-3
+
+    ck = str(tmp_path / "ck")
+    tr = Trainer(model, lr=1e-3)
+    tr.fit(tasks, val, n_epochs=2, batch_size=4, verbose=False,
+           checkpoint_dir=ck)
+    meta = load_checkpoint(ck, None, None)["metadata"]
+    assert "sched" in meta and "stopper" in meta and "lr" in meta["sched"]
