@@ -52,14 +52,14 @@ def main(argv=None):
 
     from deepsensornz_tpu.data.sources.era5 import ERA5Source
     from deepsensornz_tpu.data.sources.stations import StationSource
-    from deepsensornz_tpu.data.sources.topography import TopographySource
+    from deepsensornz_tpu.data.sources.topography import topography_from_paths
     from deepsensornz_tpu.paths import get_data_paths
 
     paths = get_data_paths()
     model_dir = os.path.join(
         paths["save_model"]["fpath"], ns.var, ns.model_name
     )
-    dem = TopographySource(paths["topography"]["file"]).load()
+    dem = topography_from_paths(paths).load()
     tdt = None if ns.transfer_dtype in ("none", "") else ns.transfer_dtype
     validate = ValidateERA(model_dir, dem, highres_factor=ns.highres_factor,
                            transfer_dtype=tdt)

@@ -36,7 +36,7 @@ from deepsensornz_tpu.utils import validate_and_convert_args
 def load_real_data(args):
     from deepsensornz_tpu.data.sources.era5 import ERA5Source
     from deepsensornz_tpu.data.sources.stations import StationSource
-    from deepsensornz_tpu.data.sources.topography import TopographySource
+    from deepsensornz_tpu.data.sources.topography import topography_from_paths
     from deepsensornz_tpu.paths import get_data_paths
 
     paths = get_data_paths()
@@ -48,7 +48,7 @@ def load_real_data(args):
     context_vars = list(dict.fromkeys([variable] + args.get("context_variables", [])))
     base_fields = {v: era5.load(v, years) for v in context_vars}
     base = base_fields[variable]
-    dem = TopographySource(paths["topography"]["file"]).load(area=args.get("area"))
+    dem = topography_from_paths(paths).load(area=args.get("area"))
     stations = StationSource(paths["stations"]["parent"]).load_stations_time(
         variable, base.coords["time"], daily=True,
         remove_stations=args.get("remove_stations", []),

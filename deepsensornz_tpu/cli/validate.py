@@ -36,12 +36,12 @@ def main(argv=None):
 
     from deepsensornz_tpu.data.sources.era5 import ERA5Source
     from deepsensornz_tpu.data.sources.stations import StationSource
-    from deepsensornz_tpu.data.sources.topography import TopographySource
+    from deepsensornz_tpu.data.sources.topography import topography_from_paths
     from deepsensornz_tpu.paths import get_data_paths
 
     paths = get_data_paths()
     model_dir = os.path.join(paths["save_model"]["fpath"], ns.var, ns.model_name)
-    dem = TopographySource(paths["topography"]["file"]).load()
+    dem = topography_from_paths(paths).load()
     validate = ValidateERA(model_dir, dem, highres_factor=ns.highres_factor)
     era5 = ERA5Source(paths["era5"]["parent"])
     stations = StationSource(paths["stations"]["parent"])

@@ -6,11 +6,13 @@ names, per-data-source name maps, per-variable likelihood and normalisation
 method, geographic extents, named locations, and ConvNP defaults.
 
 The reference additionally hard-codes a 619-entry station registry
-(``config.py:208-2683``). A generated equivalent ships as
-``data/station_registry.json`` (loaded lazily by :func:`station_registry`)
-so holdout lists and plots work without the raw archive; when an archive IS
+(``config.py:208-2683``). That table ships here as
+``data/station_registry.json`` (loaded lazily by :func:`station_registry`),
+TRANSCRIBED from the reference table — it is factual data about real NZ
+stations and no archive exists in this environment to regenerate it from —
+so holdout lists and plots work without the raw archive. When an archive IS
 available, :meth:`deepsensornz_tpu.data.sources.stations.StationSource.build_registry`
-regenerates it — the reference produced its table the same way
+regenerates it the same way the reference produced its table
 (``stations.py:181-214``).
 """
 
@@ -69,14 +71,24 @@ VAR_WRF = {
     "humidity": {"var_name": "RH2", "units": "1"},
 }
 
-# Canonical name -> station archive variable (parity: config.py:10-44).
+# Canonical name -> station archive variable + per-variable archive
+# subfolder (parity: config.py:10-44; layout used by ``get_parent_path``,
+# stations.py:21-24,46-51). u/v wind are DERIVED from the archive's
+# speed/direction variables (stations.py:295-303), mirrored here with the
+# reference's var_name convention.
 VAR_STATIONS = {
-    "temperature": {"var_name": "dry_bulb", "units": "°C"},
-    "precipitation": {"var_name": "precipitation", "units": "mm"},
-    "surface_pressure": {"var_name": "pressure", "units": "hPa"},
-    "10m_u_component_of_wind": {"var_name": "u_wind", "units": "m s-1"},
-    "10m_v_component_of_wind": {"var_name": "v_wind", "units": "m s-1"},
-    "humidity": {"var_name": "relative_humidity", "units": "1"},
+    "temperature": {"var_name": "dry_bulb", "units": "°C",
+                    "subdir": "ScreenObs"},
+    "precipitation": {"var_name": "precipitation", "units": "mm",
+                      "subdir": "Precipitation"},
+    "surface_pressure": {"var_name": "stn_lev_pres", "units": "hPa",
+                         "subdir": "Pressure"},
+    "10m_u_component_of_wind": {"var_name": "u", "units": "m s-1",
+                                "subdir": "Surface_Wind"},
+    "10m_v_component_of_wind": {"var_name": "v", "units": "m s-1",
+                                "subdir": "Surface_Wind"},
+    "humidity": {"var_name": "relative_humidity", "units": "1",
+                 "subdir": "ScreenObs"},
 }
 
 # Reverse map: any per-source short name -> canonical name (parity: config.py:94-110).

@@ -1,16 +1,29 @@
 """Weather-station archive loader (one netCDF per station).
 
-Capability parity with ``nzdownscale/dataprocess/stations.py``:
+Capability parity with ``nzdownscale/dataprocess/stations.py``, reading the
+REFERENCE archive's on-disk conventions:
 
-- metadata scan across the archive with silent skip of corrupt files
-  (``stations.py:96-120``),
+- per-variable subfolder layout ``{parent}/{VAR_STATIONS[var]['subdir']}/
+  *.nc`` (``get_parent_path``, ``stations.py:21-24,46-51``), with a flat
+  ``{parent}/*.nc`` fallback for single-folder archives,
+- station name in ``ds.attrs['site name']``, id in
+  ``attrs['agent_number']`` / the filename stem (``stations.py:74,91-92,
+  190-191``),
+- latitude/longitude/elevation stored as dataset *variables*
+  (``float(ds.longitude)``, ``station_height`` — ``stations.py:79-82,
+  192-198``), attrs accepted as fallback,
+- metadata scan with a SKIP COUNTER for unreadable files (the reference
+  skips silently, ``stations.py:117-118``; here every scan records
+  ``self.skipped`` and warns, so a mis-pointed archive cannot read as
+  "zero stations" without a trace),
 - single-station frames with optional daily resample and attached
   lon/lat/name (``stations.py:59-76``),
 - time-targeted multi-station load keeping stations that cover the
   requested range, daily mean/sum option, ``remove_stations`` /
   ``keep_stations`` holdout filters, value column named
   ``{var}_station`` (``stations.py:216-293``),
-- u/v wind derivation from speed+direction (``stations.py:295-303``),
+- u/v wind derivation from the archive's speed+direction variables
+  (``stations.py:295-303``),
 - station registry builder — the generator behind the reference's
   hard-coded 619-entry ``STATION_LATLON`` table (``stations.py:181-214``,
   ``config.py:208-2683``) — cached to JSON.
@@ -21,6 +34,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import warnings
 from typing import Optional, Sequence
 
 import numpy as np
@@ -35,58 +49,119 @@ except Exception:  # pragma: no cover
     pd = None
 
 
+def _scalar_var(ds, name: str) -> Optional[float]:
+    """A 0-d (or length-1) dataset variable as float, else None."""
+    if name in ds:
+        v = np.asarray(ds[name].data).ravel()
+        if v.size >= 1:
+            return float(v[0])
+    return None
+
+
 class StationSource:
-    """Load station observations from a directory of per-station files."""
+    """Load station observations from a reference-layout archive."""
 
     def __init__(self, parent: str):
         self.parent = parent
+        # unreadable/ill-formed files from the LAST scan — the reference
+        # swallows these silently (stations.py:117-118); surfacing the count
+        # is what distinguishes "empty archive" from "wrong archive format"
+        self.skipped: list[str] = []
 
-    def station_files(self) -> list[str]:
-        return sorted(glob.glob(os.path.join(self.parent, "*.nc")))
+    def variable_dir(self, variable: Optional[str]) -> str:
+        """Archive folder for a variable: ``{parent}/{subdir}`` when the
+        reference's per-variable layout is present, else ``parent``."""
+        if variable is not None:
+            sub = cfg.VAR_STATIONS.get(variable, {}).get("subdir")
+            if sub and os.path.isdir(os.path.join(self.parent, sub)):
+                return os.path.join(self.parent, sub)
+        return self.parent
+
+    def station_files(self, variable: Optional[str] = None) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.variable_dir(variable), "*.nc")))
 
     # -- metadata ------------------------------------------------------------------
 
-    def get_metadata(self) -> "pd.DataFrame":
-        """Per-station name/lat/lon/elevation/first/last year; corrupt files
-        skipped (``stations.py:117-118``)."""
+    def get_metadata(self, variable: Optional[str] = None) -> "pd.DataFrame":
+        """Per-station name/id/lat/lon/elevation/first/last year
+        (``get_metadata_dict``, ``stations.py:96-120``). Unreadable files
+        are counted in ``self.skipped`` and reported with a warning."""
         rows = []
-        for path in self.station_files():
+        self.skipped = []
+        for path in self.station_files(variable):
             try:
                 ds = open_dataset(path)
                 rows.append(self._meta_row(path, ds))
             except Exception:
-                continue
+                self.skipped.append(path)
+        self._warn_skipped("metadata scan")
         return pd.DataFrame(rows)
+
+    def _warn_skipped(self, what: str) -> None:
+        if self.skipped:
+            warnings.warn(
+                f"StationSource {what}: skipped {len(self.skipped)} "
+                f"unreadable station file(s), e.g. {self.skipped[0]!r} "
+                "(see .skipped for the full list)",
+                stacklevel=3,
+            )
 
     @staticmethod
     def _meta_row(path: str, ds) -> dict:
+        """One metadata row, reading the REFERENCE schema first:
+        name = attrs['site name'], id = attrs['agent_number'] (filename stem
+        as fallback — ``get_metadata_df``, ``stations.py:91-92``), lat/lon/
+        elevation as dataset variables (``stations.py:79-82,192-198``)."""
         attrs = ds.attrs
-        anyvar = next(iter(ds.values()))
-        t = anyvar.coords.get("time")
+        stem = os.path.basename(path).replace(".nc", "")
+        name = attrs.get("site name", attrs.get("station_name", stem))
+        station_id = attrs.get("agent_number", attrs.get("station_id", stem))
+        if isinstance(station_id, np.ndarray):
+            station_id = station_id.ravel()[0]
+        if isinstance(station_id, np.integer):
+            station_id = int(station_id)
+        lat = _scalar_var(ds, "latitude")
+        if lat is None:
+            lat = float(attrs.get("latitude", np.nan))
+        lon = _scalar_var(ds, "longitude")
+        if lon is None:
+            lon = float(attrs.get("longitude", np.nan))
+        elev = _scalar_var(ds, "station_height")
+        if elev is None:
+            elev = float(attrs.get("elevation", np.nan))
+        t = None
+        for f in ds.values():
+            if "time" in f.dims:
+                t = f.coords.get("time")
+                break
         return {
             "file": path,
-            "station_name": attrs.get("station_name", os.path.basename(path).replace(".nc", "")),
-            "station_id": attrs.get("station_id", -1),
-            "latitude": float(attrs.get("latitude", np.nan)),
-            "longitude": float(attrs.get("longitude", np.nan)),
-            "elevation": float(attrs.get("elevation", np.nan)),
+            "station_name": name,
+            "station_id": station_id,
+            "latitude": lat,
+            "longitude": lon,
+            "elevation": elev,
             "start_year": int(str(t.min().astype("datetime64[Y]"))) if t is not None else -1,
             "end_year": int(str(t.max().astype("datetime64[Y]"))) if t is not None else -1,
         }
 
-    def build_registry(self, cache_path: Optional[str] = None) -> dict:
-        """name → {station_id, latitude, longitude, elevation} (the
-        generated equivalent of ``STATION_LATLON``)."""
-        meta = self.get_metadata()
-        reg = {
-            r["station_name"]: {
-                "station_id": r["station_id"],
-                "latitude": r["latitude"],
-                "longitude": r["longitude"],
-                "elevation": r["elevation"],
-            }
-            for _, r in meta.iterrows()
-        }
+    def build_registry(self, cache_path: Optional[str] = None,
+                       variables: Optional[Sequence[str]] = None) -> dict:
+        """name → {station_id, latitude, longitude, elevation}: the
+        generator of the reference's ``STATION_LATLON`` table
+        (``get_all_station_info``, ``stations.py:205-214`` — first
+        occurrence of a name across variables wins)."""
+        variables = list(variables) if variables else [None]
+        reg: dict = {}
+        for var in variables:
+            meta = self.get_metadata(var)
+            for _, r in meta.iterrows():
+                reg.setdefault(r["station_name"], {
+                    "station_id": r["station_id"],
+                    "latitude": r["latitude"],
+                    "longitude": r["longitude"],
+                    "elevation": r["elevation"],
+                })
         if cache_path:
             with open(cache_path, "w") as f:
                 json.dump(reg, f, indent=1)
@@ -94,21 +169,28 @@ class StationSource:
 
     # -- loading -------------------------------------------------------------------
 
+    def _values_and_time(self, ds, path: str, variable: str):
+        """Value series + time coord for one station file, deriving u/v wind
+        from the archive's speed/direction (``stations.py:295-303``)."""
+        short = cfg.VAR_STATIONS[variable]["var_name"]
+        if short in ds:
+            return ds[short].data, ds[short].coords["time"]
+        if "wind" in variable:
+            # reference files carry 'speed'/'direction'; legacy fixtures
+            # 'wind_speed'/'wind_direction'
+            for sp, dr in (("speed", "direction"), ("wind_speed", "wind_direction")):
+                if sp in ds and dr in ds:
+                    u, v = wind_components(ds[sp].data, ds[dr].data)
+                    vals = u if "u_component" in variable else v
+                    return vals, ds[sp].coords["time"]
+        raise KeyError(f"{short} not in {path}")
+
     def load_station(self, path: str, variable: str, daily: bool = False) -> "pd.DataFrame":
         """One station's frame with lon/lat/name attached
-        (``stations.py:59-76``)."""
+        (``load_station_df``, ``stations.py:59-76``)."""
         short = cfg.VAR_STATIONS[variable]["var_name"]
         ds = open_dataset(path)
-        if short not in ds:
-            if variable.endswith("wind") and "wind_speed" in ds and "wind_direction" in ds:
-                u, v = wind_components(ds["wind_speed"].data, ds["wind_direction"].data)
-                vals = u if "u_component" in variable else v
-                t = ds["wind_speed"].coords["time"]
-            else:
-                raise KeyError(f"{short} not in {path}")
-        else:
-            vals = ds[short].data
-            t = ds[short].coords["time"]
+        vals, t = self._values_and_time(ds, path, variable)
         df = pd.DataFrame({
             "time": t.astype("datetime64[s]"),
             f"{short}_station": np.asarray(vals, np.float64),
@@ -134,14 +216,19 @@ class StationSource:
         keep_stations: Sequence[str] = (),
     ) -> "pd.DataFrame":
         """All stations covering the requested times, with holdout filters
-        (``stations.py:216-293``)."""
+        (``stations.py:216-293``). Unreadable files are counted in
+        ``self.skipped`` (+ warning) rather than silently eaten."""
         times = np.asarray(times, dtype="datetime64[s]")
         t_lo, t_hi = times.min(), times.max()
         frames = []
-        for path in self.station_files():
+        self.skipped = []
+        for path in self.station_files(variable):
             try:
                 df = self.load_station(path, variable, daily=daily)
+            except KeyError:
+                continue  # file readable, variable absent — not corrupt
             except Exception:
+                self.skipped.append(path)
                 continue
             name = df["station_name"].iloc[0] if len(df) else ""
             if keep_stations and name not in keep_stations:
@@ -154,6 +241,7 @@ class StationSource:
             sel = df[np.isin(tt, times)]
             if len(sel):
                 frames.append(sel)
+        self._warn_skipped("load_stations_time")
         if not frames:
             return pd.DataFrame(
                 columns=["time", "latitude", "longitude", "station_name", "elevation"]
@@ -163,7 +251,10 @@ class StationSource:
 
 def save_station_file(path: str, name: str, lat: float, lon: float, elev: float,
                       times: np.ndarray, values_by_var: dict[str, np.ndarray]) -> None:
-    """Write a per-station netCDF in the archive layout (test fixtures)."""
+    """Write a per-station netCDF in the legacy fixture layout (attrs-based
+    metadata). Kept for pre-round-3 fixtures; new fixtures should use
+    :func:`save_station_file_reference`, which writes the REFERENCE schema
+    the production archive actually uses."""
     from deepsensornz_tpu.data.grid import Dataset, Field, save_dataset
 
     fields = {
@@ -175,4 +266,31 @@ def save_station_file(path: str, name: str, lat: float, lon: float, elev: float,
         "station_name": name, "latitude": lat, "longitude": lon,
         "elevation": elev, "station_id": abs(hash(name)) % 100000,
     })
+    save_dataset(ds, path, float32=False)
+
+
+def save_station_file_reference(
+    path: str, name: str, agent_number: int, lat: float, lon: float,
+    elev: Optional[float], times: np.ndarray,
+    values_by_var: dict[str, np.ndarray],
+) -> None:
+    """Write a per-station netCDF in the REFERENCE archive schema: station
+    name in ``attrs['site name']``, id in ``attrs['agent_number']``, lat/lon
+    and ``station_height`` as scalar dataset VARIABLES
+    (``stations.py:74,79-82,190-198``). Test fixtures written with this
+    exercise the loaders against the production contract, not a mirror of
+    their own output. ``elev=None`` omits ``station_height`` (the archive
+    has stations with missing elevation, ``stations.py:194-198``)."""
+    from deepsensornz_tpu.data.grid import Dataset, Field, save_dataset
+
+    t = np.asarray(times, "datetime64[s]")
+    fields = {
+        short: Field(np.asarray(v, np.float64), ("time",), {"time": t}, short)
+        for short, v in values_by_var.items()
+    }
+    fields["latitude"] = Field(np.float64(lat), (), {}, "latitude")
+    fields["longitude"] = Field(np.float64(lon), (), {}, "longitude")
+    if elev is not None:
+        fields["station_height"] = Field(np.float64(elev), (), {}, "station_height")
+    ds = Dataset(fields, attrs={"site name": name, "agent_number": int(agent_number)})
     save_dataset(ds, path, float32=False)

@@ -173,7 +173,10 @@ class WRFSource:
         if path is None:
             return
         os.makedirs(self.weights_dir, exist_ok=True)
-        tmp = path + ".tmp"
+        # per-writer tmp name: two operational processes regridding the same
+        # geometry concurrently must not interleave writes into one tmp file
+        # before the atomic os.replace
+        tmp = f"{path}.{os.getpid()}.tmp"
         np.savez_compressed(tmp, verts=verts, bary=bary, valid=valid)
         # np.savez appends .npz to the tmp name
         os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)

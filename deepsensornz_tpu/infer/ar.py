@@ -51,12 +51,17 @@ def ar_sample(
     n_blocks: int = 8,
     ar_context_idx: int = -1,
     rng: jax.Array | None = None,
+    std_scale: float = 1.0,
 ) -> np.ndarray:
     """Draw AR samples at ``task.xt``. Returns (n_samples, B, M, dy).
 
     ``ar_context_idx`` selects which point-context set receives sampled
     pseudo-observations (the target-variable station set; its channel count
     must equal ``dy``).
+    ``std_scale`` applies the model artifact's post-hoc uncertainty
+    recalibration to each block's sample spread (Gaussian heads only —
+    scaling around the mean would break the discrete mass of the mixed
+    heads, whose calibration is not recalibrated).
     """
     rng = jax.random.key(0) if rng is None else rng
     B, M, _ = task.xt.shape
@@ -94,7 +99,8 @@ def ar_sample(
             jax.random.split(korder, B)
         )
         order = jnp.concatenate([perm, perm[:, :pad]], axis=1) if pad else perm
-        out[s] = np.asarray(chain(params, task_ext, order, kblocks))
+        out[s] = np.asarray(chain(params, task_ext, order, kblocks,
+                                  jnp.asarray(std_scale, jnp.float32)))
     return out
 
 
@@ -104,8 +110,9 @@ def _chain_fn(model, B, M, dy, idx, base_n, n_extra, block, n_blocks, pad):
     so repeated ``ar_sample`` calls (operational loops, benchmarks) reuse
     the compiled executable instead of retracing a fresh closure."""
     lik = model.cfg.make_likelihood()
+    gaussian = lik.name in ("cnp", "gnp")
 
-    def ar_step(params, task_ext, order, b, key):
+    def ar_step(params, task_ext, order, b, key, std_scale):
         """Predict at block ``b`` of (permuted) targets, sample, and write
         the samples into the AR context slots.
 
@@ -134,6 +141,9 @@ def _chain_fn(model, B, M, dy, idx, base_n, n_extra, block, n_blocks, pad):
         )
         raw = model.apply(params, probe)                      # (B, block, K)
         sample = lik.sample(raw, key, 1)[0]                   # (B, block, dy)
+        if gaussian:
+            mean, _ = lik.mean_std(raw)
+            sample = mean + (sample - mean) * std_scale
         # write sampled pseudo-observations into the AR context slots
         pc = task_ext.points[idx]
         slot = base_n + start
@@ -155,7 +165,7 @@ def _chain_fn(model, B, M, dy, idx, base_n, n_extra, block, n_blocks, pad):
         return task_ext.replace(points=points), sample, blk, dup_keep
 
     @jax.jit
-    def run_chain(params, task_ext, order, kblocks):
+    def run_chain(params, task_ext, order, kblocks, std_scale):
         """The whole AR chain as ONE compiled scan: no host interaction
         between blocks (each host round trip costs ~30 ms + transfers
         through a remote-device link). Returns the (B, M, dy) sample."""
@@ -165,7 +175,7 @@ def _chain_fn(model, B, M, dy, idx, base_n, n_extra, block, n_blocks, pad):
             task_ext, out = carry
             kb = jax.random.fold_in(kblocks, b)
             task_ext, sample, blk, dup_keep = ar_step(
-                params, task_ext, order, b, kb)
+                params, task_ext, order, b, kb, std_scale)
             # scatter this block's samples; pad-duplicates go to the dump
             # slot so the FIRST visit's sample is what survives (host-loop
             # semantics)

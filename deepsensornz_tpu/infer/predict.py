@@ -72,16 +72,20 @@ def _grid_forward_fn(model, n_samples: int, transfer_dtype: Optional[str] = None
     tdt = jnp.dtype(transfer_dtype) if transfer_dtype else None
 
     @jax.jit
-    def fn(params, task, target_grid, seed):
+    def fn(params, task, target_grid, seed, std_scale):
         raw = model.apply(params, task, target_grid=target_grid)
         mean, std = lik.mean_std(raw)
-        out = {"mean": mean, "std": std}
+        # post-hoc recalibration (traced): scale the predictive spread
+        # around the mean — fit on validation z-scores and stored in the
+        # model artifact (checkpoint metadata ``std_scale``)
+        out = {"mean": mean, "std": std * std_scale}
         if n_samples > 0:
             # flatten grid → (B, Ht*Wt, K) so the head's joint sampler applies
             B, Ht, Wt, K = raw.shape
             flat = raw.reshape(B, Ht * Wt, K)
             s = lik.sample(flat, jax.random.key(seed), n_samples)
-            out["samples"] = s.reshape((n_samples, B, Ht, Wt, -1))
+            s = s.reshape((n_samples, B, Ht, Wt, -1))
+            out["samples"] = mean[None] + (s - mean[None]) * std_scale
         if tdt is not None:
             out = {k: v.astype(tdt) for k, v in out.items()}
         return out
@@ -94,10 +98,15 @@ def _point_forward_fn(model):
     lik = model.cfg.make_likelihood()
 
     @jax.jit
-    def fn(params, task):
+    def fn(params, task, std_scale):
         raw = model.apply(params, task)
         mean, std = lik.mean_std(raw)
-        return {"mean": mean, "std": std}
+        out = {"mean": mean, "std": std * std_scale}
+        if lik.name == "bernoulli-gamma":
+            # occurrence probability for wet/dry skill scoring
+            # (Validate.wet_dry_skill)
+            out["p_wet"] = jax.nn.sigmoid(raw[..., 0])
+        return out
 
     return fn
 
@@ -106,32 +115,46 @@ class Predictor:
     """Bind (model, params, data_processor) into a predict callable."""
 
     def __init__(self, model, params, data_processor: DataProcessor,
-                 target_var: str, transfer_dtype: Optional[str] = None):
+                 target_var, transfer_dtype: Optional[str] = None,
+                 std_scale: float = 1.0):
+        """``target_var``: the target variable name, or a sequence of
+        ``dim_yt`` names for multi-channel models (e.g. wind u+v two-column
+        targets — the loader and heads support them; tested in
+        ``test_edge_cases.py``). Each channel unnormalises with its own
+        stats entry."""
         self.model = model
         self.params = params
         self.dp = data_processor
-        self.target_var = target_var
+        if isinstance(target_var, str):
+            self.target_vars = [target_var]
+        else:
+            self.target_vars = list(target_var)
+        self.target_var = self.target_vars[0]
+        dy = model.cfg.dim_yt
+        if dy != 1 and len(self.target_vars) != dy:
+            raise ValueError(
+                f"model has dim_yt={dy}; pass {dy} target_var names "
+                f"(got {self.target_vars})"
+            )
         self.likelihood = model.cfg.make_likelihood()
         # halve device→host bytes for remote serving (see _grid_forward_fn)
         self.transfer_dtype = transfer_dtype
-        if model.cfg.dim_yt != 1:
-            # the post-processing below slices channel 0; refusing here
-            # beats silently dropping channels of a multi-output model
-            raise ValueError(
-                f"Predictor handles dim_yt=1 models; got dim_yt="
-                f"{model.cfg.dim_yt} (use the raw model.apply/likelihood "
-                "API for multi-channel outputs)"
-            )
+        # post-hoc uncertainty recalibration fit on validation z-scores
+        # (``Train.train_model(recalibrate=...)``); lives in the checkpoint
+        # metadata so it travels WITH the model artifact
+        self.std_scale = float(std_scale)
 
     # -- jitted cores --------------------------------------------------------
 
     def _grid_forward(self, params, task, target_grid, n_samples: int, seed=0):
         return _grid_forward_fn(self.model, n_samples, self.transfer_dtype)(
-            params, task, target_grid, jnp.asarray(seed)
+            params, task, target_grid, jnp.asarray(seed),
+            jnp.asarray(self.std_scale, jnp.float32),
         )
 
     def _point_forward(self, params, task):
-        return _point_forward_fn(self.model)(params, task)
+        return _point_forward_fn(self.model)(
+            params, task, jnp.asarray(self.std_scale, jnp.float32))
 
     # -- public API ------------------------------------------------------------
 
@@ -204,10 +227,11 @@ class Predictor:
 
         out = self._grid_forward(self.params, task, (xt1, xt2, aux_grid), n_samples,
                                  jnp.asarray(seed))
-        mean = np.asarray(out["mean"][..., 0], np.float64)
-        std = np.asarray(out["std"][..., 0], np.float64)
+        # keep the channel axis: (B, Ht, Wt, dy)
+        mean = np.asarray(out["mean"], np.float64)
+        std = np.asarray(out["std"], np.float64)
         samples = (
-            np.asarray(out["samples"][..., 0], np.float64) if n_samples > 0 else None
+            np.asarray(out["samples"], np.float64) if n_samples > 0 else None
         )
 
         if post_transform is not None:
@@ -216,14 +240,14 @@ class Predictor:
                 samples, _ = post_transform(samples, None)
 
         if unnormalise:
-            scale, offset = _affine_for(self.dp, self._target_stat_name())
+            scale, offset = self._affines()   # per-channel vectors (dy,)
             mean = mean * scale + offset
-            std = std * abs(scale)
+            std = std * np.abs(scale)
             if samples is not None:
                 samples = samples * scale + offset
 
         if sea_mask:
-            sea = np.isnan(target_elev.data)
+            sea = np.isnan(target_elev.data)[..., None]
             mean = np.where(sea, np.nan, mean)
             std = np.where(sea, np.nan, std)
             if samples is not None:
@@ -233,17 +257,22 @@ class Predictor:
             times = np.arange(task.batch_size)
         dims = ("time", "latitude", "longitude")
         coords = {"time": np.asarray(times), "latitude": lat, "longitude": lon}
-        fields = {
-            "mean": Field(mean.astype(np.float32), dims, coords, "mean",
-                          {"variable": self.target_var}),
-            "std": Field(std.astype(np.float32), dims, coords, "std",
-                         {"variable": self.target_var}),
-        }
-        if samples is not None:
-            fields["samples"] = Field(
-                samples.astype(np.float32), ("sample",) + dims,
-                {"sample": np.arange(n_samples), **coords}, "samples", {},
-            )
+        fields = {}
+        for c, var in enumerate(self.target_vars):
+            # single-channel models keep the historical "mean"/"std" names
+            suffix = "" if len(self.target_vars) == 1 else f"_{var}"
+            fields[f"mean{suffix}"] = Field(
+                mean[..., c].astype(np.float32), dims, coords, f"mean{suffix}",
+                {"variable": var})
+            fields[f"std{suffix}"] = Field(
+                std[..., c].astype(np.float32), dims, coords, f"std{suffix}",
+                {"variable": var})
+            if samples is not None:
+                fields[f"samples{suffix}"] = Field(
+                    samples[..., c].astype(np.float32), ("sample",) + dims,
+                    {"sample": np.arange(n_samples), **coords},
+                    f"samples{suffix}", {},
+                )
         return Prediction(fields)
 
     def predict_points(
@@ -253,20 +282,27 @@ class Predictor:
         post_transform=None,
     ) -> dict[str, np.ndarray]:
         """Mean/std at ``task.xt`` (station holdout evaluation path,
-        ``validate.py:206-317``). Returns arrays of shape (B, M)."""
+        ``validate.py:206-317``). Returns arrays of shape (B, M) for
+        single-channel models, (B, M, dy) for ``dim_yt>1``."""
         out = self._point_forward(self.params, task)
-        mean = np.asarray(out["mean"][..., 0], np.float64)
-        std = np.asarray(out["std"][..., 0], np.float64)
+        mean = np.asarray(out["mean"], np.float64)
+        std = np.asarray(out["std"], np.float64)
         if post_transform is not None:
             mean, std = post_transform(mean, std)
         if unnormalise:
-            scale, offset = _affine_for(self.dp, self._target_stat_name())
+            scale, offset = self._affines()
             mean = mean * scale + offset
-            std = std * abs(scale)
+            std = std * np.abs(scale)
         mask = np.asarray(task.yt_mask).astype(bool)
-        mean = np.where(mask, mean, np.nan)
-        std = np.where(mask, std, np.nan)
-        return {"mean": mean, "std": std, "mask": mask}
+        mean = np.where(mask[..., None], mean, np.nan)
+        std = np.where(mask[..., None], std, np.nan)
+        if len(self.target_vars) == 1:
+            mean, std = mean[..., 0], std[..., 0]
+        result = {"mean": mean, "std": std, "mask": mask}
+        if "p_wet" in out:
+            result["p_wet"] = np.where(mask, np.asarray(out["p_wet"], np.float64),
+                                       np.nan)
+        return result
 
     def ar_sample_grid(
         self,
@@ -331,43 +367,55 @@ class Predictor:
         )
         import jax as _jax
 
+        dy = self.model.cfg.dim_yt
         samples = ar_sample(
             self.model, self.params, coarse_task, n_samples=n_samples,
             n_blocks=n_blocks, rng=_jax.random.key(seed),
-        )[..., 0]  # (S, B, M)
-        fields = samples.reshape(n_samples, B, len(lat_c), len(lon_c))
+            std_scale=self.std_scale,
+        )  # (S, B, M, dy)
+        fields = samples.reshape(n_samples, B, len(lat_c), len(lon_c), dy)
         # upsample back to the full grid (separable linear)
-        out = np.empty((n_samples, B, len(lat), len(lon)), np.float32)
+        out = np.empty((n_samples, B, len(lat), len(lon), dy), np.float32)
         for s in range(n_samples):
             for b in range(B):
-                f = Field(fields[s, b], ("latitude", "longitude"),
-                          {"latitude": lat_c, "longitude": lon_c}, "s")
-                up = f._interp_one("latitude", lat, "linear")
-                up = up._interp_one("longitude", lon, "linear")
-                out[s, b] = up.data
+                for c in range(dy):
+                    f = Field(fields[s, b, ..., c], ("latitude", "longitude"),
+                              {"latitude": lat_c, "longitude": lon_c}, "s")
+                    up = f._interp_one("latitude", lat, "linear")
+                    up = up._interp_one("longitude", lon, "linear")
+                    out[s, b, ..., c] = up.data
         if unnormalise:
-            scale, offset = _affine_for(self.dp, self._target_stat_name())
+            scale, offset = self._affines()
             out = out * scale + offset
         if sea_mask:
-            sea = np.isnan(target_elev.data)
+            sea = np.isnan(target_elev.data)[..., None]
             out = np.where(sea, np.nan, out)
-        return out
+        # historical contract: single-channel models return (S, B, Ht, Wt)
+        return out[..., 0] if dy == 1 else out
 
-    def _target_stat_name(self) -> str:
-        """Resolve the DataProcessor stats entry for the target variable."""
-        if self.target_var in self.dp.config:
-            return self.target_var
-        hits = [k for k in self.dp.config if k.startswith(self.target_var)]
+    def _target_stat_name(self, var: Optional[str] = None) -> str:
+        """Resolve the DataProcessor stats entry for a target variable."""
+        var = self.target_var if var is None else var
+        if var in self.dp.config:
+            return var
+        hits = [k for k in self.dp.config if k.startswith(var)]
         if len(hits) == 1:
             return hits[0]
         if hits:
             # an arbitrary pick here would silently unnormalise with the
             # wrong variable's stats
             raise KeyError(
-                f"target {self.target_var!r} matches multiple stats entries "
+                f"target {var!r} matches multiple stats entries "
                 f"{hits}; use the exact name"
             )
         raise KeyError(
-            f"no normalisation stats for target {self.target_var!r}; "
+            f"no normalisation stats for target {var!r}; "
             f"have {list(self.dp.config)}"
         )
+
+    def _affines(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-channel (scale, offset) vectors, shape (dim_yt,)."""
+        pairs = [_affine_for(self.dp, self._target_stat_name(v))
+                 for v in self.target_vars]
+        return (np.asarray([p[0] for p in pairs], np.float64),
+                np.asarray([p[1] for p in pairs], np.float64))

@@ -61,6 +61,9 @@ class ConvNPConfig:
     # parity-split lowering — 0.128 s vs 0.141 s full cycle — because the
     # depth-to-space interleave breaks fusion) | "subpixel" | "nearest"
     upsample: str = "transpose"
+    # Down-path lowering: "strided" | "s2d" (space-to-depth packed conv —
+    # exact reparameterisation, checkpoint-compatible; models/unet.py)
+    downsample: str = "strided"
     # Level-0 (full-res) U-Net kernel size override (5→3 halves cycle-
     # dominant FLOPs; quality checked on hardware — docs/perf_unet.md).
     # None = kernel_size at every level (reference parity).
@@ -159,6 +162,7 @@ class ConvNP(nn.Module):
             kernel_size=cfg.kernel_size,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             upsample=cfg.upsample,
+            downsample=cfg.downsample,
             top_kernel=cfg.top_kernel,
             name="unet",
         )(h)
@@ -197,9 +201,15 @@ class ConvNP(nn.Module):
     def init_params(self, rng: jax.Array, task: TaskBatch):
         return self.init(rng, task)
 
-    def loss(self, params, task: TaskBatch) -> jnp.ndarray:
+    def loss(self, params, task: TaskBatch, anchor_scale=1.0) -> jnp.ndarray:
         """Normalised NLL (parity: ``model.loss_fn(task, normalise=True)``),
-        plus the optional mean-anchor MSE term."""
+        plus the optional mean-anchor MSE term.
+
+        ``anchor_scale`` is a TRACED multiplier on the anchor weight so a
+        trainer can decay the anchor over epochs (anchor high early to pin
+        the mean, →0 late so the final epochs optimise the pure joint NLL)
+        without recompiling the train step.
+        """
         raw = self.apply(params, task)
         lik = self.cfg.make_likelihood()
         out = lik.nll(raw, task.yt, task.yt_mask)
@@ -209,7 +219,7 @@ class ConvNP(nn.Module):
             m = task.yt_mask.astype(jnp.float32)[..., None]
             se = jnp.square((mean - task.yt.astype(jnp.float32))) * m
             mse = jnp.sum(se) / jnp.maximum(jnp.sum(m) * mean.shape[-1], 1.0)
-            out = out + anchor * mse
+            out = out + anchor * anchor_scale * mse
         return out
 
 

@@ -73,6 +73,81 @@ def _subpixel_up(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.
     return y.reshape(B, 2 * H, 2 * W, cout) + bias.astype(y.dtype)
 
 
+def _s2d_down(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 k×k SAME conv as space-to-depth + ONE dense stride-1 conv.
+
+    Exact reparameterisation (the input-parity mirror of
+    :func:`_subpixel_up`): out[Y] = Σ_d x[2Y+d−P]·W[d] with P = k//2 for
+    lax SAME stride-2. Packing input pixels 2×2 into channels
+    (u[Z] = x[2Z..2Z+1], 4·Cin channels) turns every tap into a packed
+    offset o = ⌊(d−P+p̄)/2⌋ with parity p — a ⌈k/2⌉-tap DENSE conv at 4×
+    input channels. The point on TPU: the strided conv's input access
+    pattern defeats Mosaic's lane packing (measured 16–20 % of peak at the
+    flagship shape, docs/perf_unet.md); the packed form reads dense rows at
+    4× the channel depth, the textbook TPU counterpart of the subpixel
+    up-conv trick.
+    """
+    import numpy as np
+
+    k = kernel.shape[0]
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    # lax SAME stride-2 pad_low = (k−2)//2 for even H (pad_total = k−2 split
+    # low-first; verified bit-level against nn.Conv for k ∈ {3,5,7})
+    P = (k - 2) // 2
+    # tap d at parity p lands on packed offset o where 2o + p = d − P + P%2…
+    # derive directly: input index i = 2Y + d − P = 2(Y+o) + p
+    offs = {}
+    for d in range(k):
+        rel = d - P
+        p = rel % 2
+        o = (rel - p) // 2
+        offs[d] = (o, p)
+    omin = min(o for o, _ in offs.values())
+    omax = max(o for o, _ in offs.values())
+    m = omax - omin + 1
+    # constant one-hot map (k,k → m,m,2,2): one einsum rearranges the stored
+    # strided kernel into the packed form (same style as _subpixel_up)
+    sel = np.zeros((k, k, m, m, 2, 2), kernel.dtype)
+    for dy in range(k):
+        for dx in range(k):
+            oy, py = offs[dy]
+            ox, px = offs[dx]
+            sel[dy, dx, oy - omin, ox - omin, py, px] = 1.0
+    # packed kernel: (m, m, 2, 2, cin, cout) → (m, m, 4·cin, cout) with the
+    # channel blocks ordered (py, px, c) to match the space-to-depth reshape
+    wp = jnp.einsum("yxio,yxabpq->abpqio", kernel, jnp.asarray(sel))
+    wp = wp.reshape(m, m, 4 * cin, cout)
+    B, H, W, C = x.shape
+    u = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    u = u.reshape(B, H // 2, W // 2, 4 * C)
+    y = jax.lax.conv_general_dilated(
+        u, wp.astype(x.dtype), (1, 1),
+        ((-omin, omax), (-omin, omax)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + bias.astype(y.dtype)
+
+
+class _S2DDown(nn.Module):
+    """Drop-in nn.Conv(features, k, s2, SAME) with IDENTICAL parameter
+    names/shapes (kernel (k,k,Cin,Cout) + bias) — checkpoints trained with
+    either lowering load into the other."""
+
+    features: int
+    kernel_size: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, x.shape[-1], self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return _s2d_down(x.astype(self.dtype), kernel.astype(self.dtype), bias)
+
+
 class _SubpixelUp(nn.Module):
     """Drop-in ConvTranspose(features, k, s2, SAME) with IDENTICAL parameter
     names/shapes (kernel (k,k,Cin,Cout) + bias) — checkpoints trained with
@@ -109,6 +184,10 @@ class UNet(nn.Module):
     kernel_size: int = 5
     compute_dtype: jnp.dtype = jnp.float32
     upsample: str = "transpose"
+    # Down-path lowering: "strided" (nn.Conv stride 2) or "s2d"
+    # (space-to-depth + dense conv — exact same math, checkpoint-compatible
+    # both ways; see _s2d_down for the TPU rationale + measured verdict)
+    downsample: str = "strided"
     # Kernel size for the LEVEL-0 (full-resolution) down/up/mix convs only.
     # The full-res level carries ~75% of the U-Net FLOPs at 608² and its mix
     # conv is already at the 64-lane MXU ceiling, so shrinking only this
@@ -133,8 +212,11 @@ class UNet(nn.Module):
         for i, ch in enumerate(self.channels):
             x = nn.relu(x)
             skips.append(x)
-            x = nn.Conv(ch, ksz(i), strides=(2, 2), padding="SAME", dtype=dt,
-                        name=f"down_{i}")(x)
+            if self.downsample == "s2d":
+                x = _S2DDown(ch, ksz(i)[0], dtype=dt, name=f"down_{i}")(x)
+            else:
+                x = nn.Conv(ch, ksz(i), strides=(2, 2), padding="SAME", dtype=dt,
+                            name=f"down_{i}")(x)
 
         x = nn.relu(x)
         x = nn.Conv(self.channels[-1], ksz(len(self.channels)), padding="SAME",

@@ -36,6 +36,31 @@ from deepsensornz_tpu.train.checkpoint import load_checkpoint
 from deepsensornz_tpu.train.trainer import Trainer
 
 
+def fit_std_scale(model, params, tasks, clip=(0.05, 20.0)) -> float:
+    """Fit the post-hoc uncertainty recalibration factor on held-out tasks.
+
+    Returns the std of the standardised residuals z = (y − mean)/std over
+    valid targets: multiplying predicted stds by it maps the validation
+    z_std to exactly 1. z is invariant under the affine unnormalisation, so
+    the fit runs in normalised space. The factor is stored in the checkpoint
+    metadata (``std_scale``) and applied by :class:`~deepsensornz_tpu.infer.
+    predict.Predictor` — the recalibration lives in the model artifact, not
+    in any evaluation script.
+    """
+    lik = model.cfg.make_likelihood()
+    raw = jax.jit(model.apply)(params, tasks)
+    mean, std = lik.mean_std(raw)
+    mean = np.asarray(mean, np.float64)
+    std = np.asarray(std, np.float64)
+    y = np.asarray(tasks.yt, np.float64)
+    m = np.asarray(tasks.yt_mask).astype(bool)[..., None]
+    m = np.broadcast_to(m, y.shape)
+    z = (y[m] - mean[m]) / np.maximum(std[m], 1e-9)
+    if len(z) < 2 or not np.all(np.isfinite(z)):
+        return 1.0
+    return float(np.clip(np.std(z), *clip))
+
+
 class Train:
     """End-to-end training driver for one variable/run."""
 
@@ -172,7 +197,18 @@ class Train:
         model_dir: Optional[str] = None,
         task_kwargs: Optional[dict] = None,
         verbose: bool = True,
+        recalibrate: str | bool = "auto",
+        anchor_schedule=None,
     ) -> dict:
+        """``recalibrate``: fit a post-hoc ``std_scale`` on validation
+        z-scores after training and store it in the checkpoint metadata.
+        "auto" (default) recalibrates the Gaussian heads (cnp/gnp) — the
+        joint (gnp) head's NLL optimum systematically over-disperses the
+        MARGGINAL stds it reports (measured z_std ≈ 0.12 on the flagship
+        run), and a validation-fit scale is the principled correction; the
+        mixed heads (bernoulli-gamma / spikes-beta) keep scale 1.0, where
+        z-scaling has no clean meaning. ``anchor_schedule`` is forwarded to
+        :meth:`Trainer.fit` (epoch → anchor-weight multiplier)."""
         times = self.task_times()
         if train_times is None:
             n_val = max(len(times) // 5, 1)
@@ -203,10 +239,24 @@ class Train:
             checkpoint_dir=model_dir,
             metadata=self.metadata,
             verbose=verbose,
+            anchor_schedule=anchor_schedule,
         )
         self.params = out["params"]
         self.train_losses = out["train_losses"]
         self.val_losses = out["val_losses"]
+
+        do_recal = (self.model.cfg.likelihood in ("cnp", "gnp", "lowrank")
+                    if recalibrate == "auto" else bool(recalibrate))
+        self.std_scale = 1.0
+        if do_recal and val_tasks is not None:
+            self.std_scale = fit_std_scale(self.model, self.params, val_tasks)
+            out["std_scale"] = self.std_scale
+            if verbose:
+                print(f"recalibration: std_scale = {self.std_scale:.4f}")
+            if model_dir is not None:
+                from deepsensornz_tpu.train.checkpoint import update_metadata
+
+                update_metadata(model_dir, std_scale=self.std_scale)
         if model_dir is not None:
             try:  # loss-curve PNG beside the checkpoint (train.py:513-522)
                 from deepsensornz_tpu.plot import make_loss_plot

@@ -81,6 +81,9 @@ def load_run(model_dir: str) -> dict:
         "data_processor": dp,
         "metadata": metadata,
         "variable": var,
+        # post-hoc uncertainty recalibration fit at train time
+        # (Train.train_model(recalibrate=...)); 1.0 when absent
+        "std_scale": float(metadata.get("std_scale", 1.0)),
     }
 
 
@@ -106,6 +109,20 @@ def humidity_post_transform(mean, std):
 
 def post_transform_for(variable: str):
     return humidity_post_transform if variable == "humidity" else None
+
+
+def _nearest_index(coord: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Index of the nearest ``coord`` entry for each query (any coord order)."""
+    coord = np.asarray(coord, np.float64)
+    query = np.asarray(query, np.float64)
+    if len(coord) == 1:
+        return np.zeros(len(query), np.intp)
+    order = np.argsort(coord)
+    cs = coord[order]
+    pos = np.clip(np.searchsorted(cs, query), 1, len(cs) - 1)
+    pick = np.where(np.abs(query - cs[pos - 1]) <= np.abs(cs[pos] - query),
+                    pos - 1, pos)
+    return order[pick]
 
 
 def remove_stations_from_frame(df, station_names: Sequence[str]):
@@ -152,6 +169,7 @@ class Validate:
         self.predictor = Predictor(
             self.run["model"], self.run["params"], self.run["data_processor"],
             self.run["task_loader"].target_var_IDs[0],
+            std_scale=self.run.get("std_scale", 1.0),
         )
 
     @property
@@ -276,29 +294,42 @@ class Validate:
         return {"bands": band_errs, "stations": stations}
 
     @staticmethod
-    def _base_errors_at_stations(base_field: Field, station_df):
-        """Yield ((lat, lon), base − obs) for every finite station sample —
-        the one sampling loop behind both base-baseline reporters (a fix to
-        the nearest-sel/finite handling applies everywhere)."""
+    def _base_pairs_at_stations(base_field: Field, station_df):
+        """Vectorised base-at-station sampling: returns ``(keys, base, obs)``
+        arrays — keys (N, 2) rounded (lat, lon), base/obs (N,) — for every
+        finite station sample, matching time and cell by nearest. One
+        O(N log G) gather replaces the former per-(time, station) pandas
+        loop (O(720×619) python ops per operational month)."""
         col = [c for c in station_df.columns if c.endswith("_station")][0]
-        for t, grp in station_df.groupby("time"):
-            try:
-                sl = base_field.sel(time=np.datetime64(t), method="nearest")
-            except Exception:
-                continue
-            for _, row in grp.iterrows():
-                v = sl.sel(latitude=row["latitude"], longitude=row["longitude"],
-                           method="nearest")
-                if np.isfinite(v.data) and np.isfinite(row[col]):
-                    key = (round(float(row["latitude"]), 5),
-                           round(float(row["longitude"]), 5))
-                    yield key, float(v.data) - float(row[col])
+        lat_c = np.asarray(base_field.coords[base_field.dims[-2]], np.float64)
+        lon_c = np.asarray(base_field.coords[base_field.dims[-1]], np.float64)
+        t_c = np.asarray(base_field.coords["time"]).astype("datetime64[s]")
+        st_t = station_df["time"].to_numpy().astype("datetime64[s]")
+        st_lat = station_df["latitude"].to_numpy(np.float64)
+        st_lon = station_df["longitude"].to_numpy(np.float64)
+        obs = station_df[col].to_numpy(np.float64)
+        ti = _nearest_index(t_c.astype(np.int64), st_t.astype(np.int64))
+        li = _nearest_index(lat_c, st_lat)
+        lo = _nearest_index(lon_c, st_lon)
+        base = np.asarray(base_field.data)[ti, li, lo].astype(np.float64)
+        ok = np.isfinite(base) & np.isfinite(obs)
+        keys = np.stack([st_lat.round(5), st_lon.round(5)], -1)
+        return keys[ok], base[ok], obs[ok]
+
+    @classmethod
+    def _base_errors_at_stations(cls, base_field: Field, station_df):
+        """Yield ((lat, lon), base − obs) for every finite station sample —
+        the one sampling path behind both base-baseline reporters (a fix to
+        the nearest/finite handling applies everywhere)."""
+        keys, base, obs = cls._base_pairs_at_stations(base_field, station_df)
+        for k, b, o in zip(keys, base, obs):
+            yield (float(k[0]), float(k[1])), float(b - o)
 
     def calculate_loss_base(self, base_field: Field, station_df) -> dict:
         """Baseline: raw base field (ERA5) sampled at station locations vs
         obs (``calculate_loss_era5``, ``validate.py:319-351``)."""
-        errs = np.asarray([e for _, e in
-                           self._base_errors_at_stations(base_field, station_df)])
+        _, base, obs = self._base_pairs_at_stations(base_field, station_df)
+        errs = base - obs
         return {
             "rmse": float(np.sqrt(np.mean(errs**2))) if len(errs) else np.nan,
             "bias": float(np.mean(errs)) if len(errs) else np.nan,
@@ -323,9 +354,10 @@ class Validate:
             station_df = station_df[[
                 np.datetime64(t, "ns").astype(np.int64) in want
                 for t in station_df["time"]]]
+        keys, base, obs = self._base_pairs_at_stations(base_field, station_df)
         per: dict[tuple, list] = {}
-        for k, e in self._base_errors_at_stations(base_field, station_df):
-            per.setdefault(k, []).append(abs(e))
+        for k, e in zip(keys, np.abs(base - obs)):
+            per.setdefault((float(k[0]), float(k[1])), []).append(e)
         stats = {k: (float(np.mean(e)), float(np.std(e))) for k, e in per.items()}
         means = [m for m, _ in stats.values()]
         stds = [s for _, s in stats.values()]
@@ -356,6 +388,64 @@ class Validate:
             "coverage_68": float(np.mean(np.abs(zf) < 1.0)) if len(zf) else np.nan,
             "n": int(len(zf)),
         }
+
+    def wet_dry_skill(
+        self,
+        dates,
+        base_field: Optional[Field] = None,
+        station_df=None,
+        remove_stations: Sequence[str] = (),
+        wet_threshold: float = 0.0,
+    ) -> dict:
+        """Precipitation occurrence skill at stations: Brier score and hit
+        rate of the model's P(wet) against observed wetness, plus the base
+        field's deterministic wetness as baseline when ``base_field`` +
+        raw ``station_df`` are given (the reference studies occurrence via
+        the precip validation notebook; this makes it a quantitative
+        metric). ``wet_threshold`` is in physical units (mm)."""
+        pred = self.get_predictions(dates, remove_stations)
+        if "p_wet" not in pred:
+            raise ValueError(
+                "wet/dry skill needs the bernoulli-gamma head (no P(wet) "
+                f"for likelihood {self.run['model'].cfg.likelihood!r})"
+            )
+        obs = self._unnormalise_obs(pred["yt"][..., 0])
+        p = pred["p_wet"]
+        mask = pred["mask"] & np.isfinite(p) & np.isfinite(obs)
+        wet = (obs[mask] > wet_threshold).astype(np.float64)
+        pm = p[mask]
+        out = {
+            "brier": float(np.mean((pm - wet) ** 2)) if mask.any() else np.nan,
+            "hit_rate": float(np.mean((pm > 0.5) == (wet > 0.5))) if mask.any() else np.nan,
+            "wet_frac_obs": float(np.mean(wet)) if mask.any() else np.nan,
+            "n": int(mask.sum()),
+        }
+        if base_field is not None and station_df is not None:
+            want = {np.datetime64(d, "ns").astype(np.int64) for d in dates}
+            sdf = station_df[[
+                np.datetime64(t, "ns").astype(np.int64) in want
+                for t in station_df["time"]]]
+            _, b, o = self._base_pairs_at_stations(base_field, sdf)
+            bw = (b > wet_threshold).astype(np.float64)
+            ow = (o > wet_threshold).astype(np.float64)
+            out["baseline_brier"] = float(np.mean((bw - ow) ** 2)) if len(b) else np.nan
+            out["baseline_hit_rate"] = float(np.mean(bw == ow)) if len(b) else np.nan
+        return out
+
+    @staticmethod
+    def calibration_gate(stats: dict, z_std_range=(0.8, 1.25),
+                         coverage_95_range=(0.90, 0.98)) -> bool:
+        """True iff calibration_stats pass the shipping gate: z_std and 95 %
+        coverage inside their acceptance windows. The registry-default model
+        (gnp) must pass this at holdout stations — the headline capability
+        claim is CALIBRATED uncertainty (reference ``README.md:1-9``)."""
+        z = stats.get("z_std", np.nan)
+        c = stats.get("coverage_95", np.nan)
+        return bool(
+            np.isfinite(z) and np.isfinite(c)
+            and z_std_range[0] <= z <= z_std_range[1]
+            and coverage_95_range[0] <= c <= coverage_95_range[1]
+        )
 
     def stations_in_date_range(self, station_df, date_range) -> list:
         """Stations reporting over the whole range (``validate.py:474-509``).
@@ -407,6 +497,7 @@ class ValidateERA:
             self.run["model"], self.run["params"], self.run["data_processor"],
             self.run["task_loader"].target_var_IDs[0],
             transfer_dtype=transfer_dtype,
+            std_scale=self.run.get("std_scale", 1.0),
         )
 
     def predict(

@@ -503,7 +503,10 @@ class TaskLoader:
         exact = np.isin(queries, uniq)
         if exact.all():
             return queries
-        out = queries.copy()
+        # snapped values are FRAME timestamps — carry the frame's time unit,
+        # or assigning [s] values into a [D] query array would silently
+        # truncate the snap back to day resolution (a no-op)
+        out = queries.astype(uniq.dtype).copy()
         miss = np.nonzero(~exact)[0]
         q = queries[miss]
         # nearest frame timestamp WITHIN the query's calendar day only

@@ -72,6 +72,22 @@ def save_checkpoint(
     )
 
 
+def update_metadata(ckpt_dir: str, **updates) -> dict:
+    """Merge ``updates`` into an existing checkpoint's metadata atomically
+    (weights untouched). Used for post-training artifact annotations, e.g.
+    the ``std_scale`` recalibration factor."""
+    meta_path = os.path.join(ckpt_dir, META_FILE)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    meta.update(updates)
+    _atomic_write(
+        meta_path, json.dumps(meta, indent=2, cls=_JsonEncoder).encode()
+    )
+    return meta
+
+
 def load_checkpoint(
     ckpt_dir: str,
     params_template,

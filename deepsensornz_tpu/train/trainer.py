@@ -104,8 +104,10 @@ def make_train_step(
     """Build the jitted (state, task, lr) → (state, loss) step."""
     opt = _adamw_core(weight_decay)
 
-    def step(state: TrainState, task: TaskBatch, lr) -> tuple[TrainState, jnp.ndarray]:
-        loss, grads = jax.value_and_grad(model.loss)(state.params, task)
+    def step(state: TrainState, task: TaskBatch, lr,
+             anchor_scale=1.0) -> tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(model.loss)(
+            state.params, task, anchor_scale)
         # a step is only applied if BOTH the loss and every gradient are
         # finite — a finite loss with exploding grads (e.g. through a
         # near-singular Cholesky backward) would otherwise poison params
@@ -146,7 +148,8 @@ def _default_train_step(model) -> Callable:
 def train_epoch(model, state: TrainState, tasks: TaskBatch, batch_size: int = 8,
                 lr: float = 5e-5, shuffle: bool = True,
                 step_fn: Optional[Callable] = None,
-                rng: Optional[np.random.Generator] = None):
+                rng: Optional[np.random.Generator] = None,
+                anchor_scale: float = 1.0):
     """One epoch over a materialised TaskBatch; returns (state, losses).
 
     Engine parity with ``deepsensor.train.train_epoch(model, tasks,
@@ -161,7 +164,7 @@ def train_epoch(model, state: TrainState, tasks: TaskBatch, batch_size: int = 8,
     losses = []
     for sel in _batches(idx, batch_size):
         batch = _take_padded(tasks, sel, batch_size)
-        state, loss = step_fn(state, batch, lr)
+        state, loss = step_fn(state, batch, lr, anchor_scale)
         losses.append(loss)  # device array: no per-step host sync
     # fetch once at epoch end — steps pipeline on device (matters through
     # remote-device tunnels where every sync costs a round trip)
@@ -283,12 +286,16 @@ class Trainer:
         shuffle: bool = True,
         verbose: bool = True,
         resume_from: Optional[str] = None,
+        anchor_schedule: Optional[Callable[[int], float]] = None,
     ) -> dict:
         """Train; returns {params, train_losses, val_losses, best_val, ...}.
 
         ``resume_from``: checkpoint directory to restore params AND
         optimizer state from (mid-run resume — capability the reference
         lacks, SURVEY.md §5.4 'no optimizer-state checkpointing').
+        ``anchor_schedule``: epoch → multiplier on the model's mean-anchor
+        weight (traced, so no recompilation); e.g. a linear decay to 0 lets
+        the final epochs optimise the pure joint NLL.
         """
         from deepsensornz_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 
@@ -316,7 +323,6 @@ class Trainer:
             stopper.load_state_dict(meta.get("stopper", {}))
         n = train_tasks.batch_size
         batch_size = min(batch_size, n)  # tiny datasets: one partial batch
-        order_rng = np.random.default_rng(0)
         best_val = min(prev_val) if prev_val else np.inf
         # snapshots must COPY: the donated train step deletes the buffers of
         # every state it consumes, so an alias into state.params becomes a
@@ -328,9 +334,15 @@ class Trainer:
         lr = sched.lr   # = lr0 fresh; restored value on resume
         for epoch in range(start_epoch, n_epochs):
             t0 = time.time()
+            # per-EPOCH shuffle seed: a resumed run at epoch k draws the same
+            # permutation the uninterrupted run drew at epoch k (a single
+            # stream seeded once would restart at permutation 0 on resume)
+            order_rng = np.random.default_rng((0, epoch))
+            a_scale = float(anchor_schedule(epoch)) if anchor_schedule else 1.0
             state, losses = train_epoch(
                 self.model, state, train_tasks, batch_size=batch_size, lr=lr,
                 shuffle=shuffle, step_fn=self.train_step, rng=order_rng,
+                anchor_scale=a_scale,
             )
             finite = [l for l in losses if np.isfinite(l)]  # NaN filter (train.py:395)
             train_loss = float(np.mean(finite)) if finite else np.nan
@@ -342,7 +354,14 @@ class Trainer:
                 val_loss = train_loss
             val_losses.append(val_loss)
 
-            if np.isfinite(val_loss) and val_loss < best_val:
+            is_best = np.isfinite(val_loss) and val_loss < best_val
+            # step the schedule/stopper BEFORE checkpointing so the saved
+            # state already reflects this epoch's val — a resumed run then
+            # continues with exactly the counters/LR the uninterrupted run
+            # carried into the next epoch (replay-equivalent resume)
+            lr = sched.step(val_loss)
+            should_stop = stopper.step(val_loss)
+            if is_best:
                 best_val = val_loss
                 best_params = snap(state.params)
                 if checkpoint_dir is not None:
@@ -357,13 +376,12 @@ class Trainer:
                                   "sched": sched.state_dict(),
                                   "stopper": stopper.state_dict()},
                     )
-            lr = sched.step(val_loss)
             if verbose:
                 print(
                     f"epoch {epoch:3d}  train {train_loss:.4f}  val {val_loss:.4f}"
                     f"  lr {lr:.2e}  {time.time()-t0:.1f}s"
                 )
-            if stopper.step(val_loss):
+            if should_stop:
                 break
         return {
             "params": best_params,

@@ -120,6 +120,7 @@ def main(argv=None):
     xt1 = jnp.asarray(dp.map_x1(lat), jnp.float32)
     xt2 = jnp.asarray(dp.map_x2(lon), jnp.float32)
     aux = dem_n.data.astype(np.float32)[None]
+    one = jnp.asarray(1.0, jnp.float32)
     fwd = _grid_forward_fn(model, 0)
 
     tu = time.perf_counter()
@@ -130,12 +131,12 @@ def main(argv=None):
     t_upload = time.perf_counter() - tu
 
     seed = jnp.asarray(0)
-    outs = [fwd(params, dev_tasks[0], (xt1, xt2, aux_grid), seed)]
+    outs = [fwd(params, dev_tasks[0], (xt1, xt2, aux_grid), seed, one)]
     jax.block_until_ready(outs[0]["mean"])   # compile once
     outs = []
     tc = time.perf_counter()
     for t in dev_tasks:
-        outs.append(fwd(params, t, (xt1, xt2, aux_grid), seed))
+        outs.append(fwd(params, t, (xt1, xt2, aux_grid), seed, one))
     # sync on a scalar computed from the last output (CLAUDE.md: honest
     # through-relay completion signal)
     float(np.asarray(jnp.sum(outs[-1]["mean"][0, 0]).astype(jnp.float32)))
@@ -162,12 +163,12 @@ def main(argv=None):
 
     # ---- float16 transfer mode (Predictor(transfer_dtype="float16")) ------
     fwd16 = _grid_forward_fn(model, 0, "float16")
-    outs16 = [fwd16(params, dev_tasks[0], (xt1, xt2, aux_grid), seed)]
+    outs16 = [fwd16(params, dev_tasks[0], (xt1, xt2, aux_grid), seed, one)]
     jax.block_until_ready(outs16[0]["mean"])   # compile
     outs16 = []
     tc = time.perf_counter()
     for t in dev_tasks:
-        outs16.append(fwd16(params, t, (xt1, xt2, aux_grid), seed))
+        outs16.append(fwd16(params, t, (xt1, xt2, aux_grid), seed, one))
     float(np.asarray(jnp.sum(outs16[-1]["mean"][0, 0]).astype(jnp.float32)))
     t_compute16 = time.perf_counter() - tc
     td = time.perf_counter()

@@ -27,7 +27,7 @@ import numpy as np
 
 
 def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
-         **convnp_extra):
+         anchor_decay=None, **convnp_extra):
     os.makedirs(out_dir, exist_ok=True)
     import jax
 
@@ -67,10 +67,18 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
     print("model config:", training.model_config_dict, flush=True)
 
     model_dir = os.path.join(out_dir, "model")
+    # anchor_decay=k: full anchor for k epochs, then linear →0 by the end —
+    # the final epochs optimise the pure joint NLL so the reported spread
+    # can adapt to the anchored-mean residuals
+    schedule = None
+    if anchor_decay is not None:
+        k = int(anchor_decay)
+        span = max(n_epochs - k, 1)
+        schedule = lambda e: 1.0 if e < k else max(1.0 - (e - k + 1) / span, 0.0)  # noqa: E731
     t0 = time.time()
     result = training.train_model(
         n_epochs=n_epochs, batch_size=8, lr=5e-5, model_dir=model_dir,
-        verbose=True,
+        verbose=True, anchor_schedule=schedule,
     )
     train_s = time.time() - t0
     dplot.make_loss_plot(result["train_losses"], result["val_losses"],
@@ -84,18 +92,28 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
     sel = stations[stations["time"].isin(eval_times)]
     baseline = v.calculate_loss_base(base, sel)
     calib = v.calibration_stats(eval_times, remove_stations=holdout)
+    wet_dry = None
+    if training.model.cfg.likelihood == "bernoulli-gamma":
+        wet_dry = v.wet_dry_skill(eval_times, base_field=base,
+                                  station_df=stations,
+                                  remove_stations=holdout)
 
     metrics = {
         "config": training.model_config_dict,
         "recipe": {"n_epochs": n_epochs, "batch_size": 8, "lr": 5e-5,
-                   "station_as_context": "split"},
+                   "station_as_context": "split",
+                   "anchor_decay": anchor_decay},
         "epochs_run": len(result["train_losses"]),
         "train_wall_s": round(train_s, 1),
         "best_val_nll": float(result["best_val"]),
         "holdout_rmse_C": round(unseen["rmse"], 3),
         "baseline_rmse_C": round(baseline["rmse"], 3),
+        "std_scale": result.get("std_scale", 1.0),
         "calibration": calib,
+        "calibration_gate": Validate.calibration_gate(calib),
     }
+    if wet_dry is not None:
+        metrics["wet_dry_skill"] = wet_dry
     print(json.dumps(metrics, indent=2), flush=True)
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)

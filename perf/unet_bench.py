@@ -141,6 +141,42 @@ def main(B=24, H=304, C=64):
     bench_module("conv_k5_s2", nn.Conv(C, (5, 5), strides=(2, 2),
                                        padding="SAME", dtype=dt), x_hi)
 
+    # space-to-depth lowering (round-3): exact reparameterisation — 2×2-pack
+    # input → dense ⌈k/2⌉-tap conv at 4×Cin (full 256-lane input depth). The
+    # strided original measured 16–20 % of peak; this trades ×1.44 FLOPs for
+    # dense access.
+    from deepsensornz_tpu.models.unet import _S2DDown
+
+    bench_module("conv_k5_s2_s2d", _S2DDown(C, 5, dtype=dt), x_hi)
+
+    # down in fusion context: relu → down (what the U-Net actually runs)
+    class DownCtx(nn.Module):
+        mode: str = "strided"
+
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(x)
+            if self.mode == "s2d":
+                return _S2DDown(C, 5, dtype=dt)(x)
+            return nn.Conv(C, (5, 5), strides=(2, 2), padding="SAME", dtype=dt)(x)
+
+    bench_module("downctx_strided", DownCtx("strided"), x_hi)
+    bench_module("downctx_s2d", DownCtx("s2d"), x_hi)
+
+    # batch-in-lanes probe for the 64-out-channel convs: pack a PAIR of
+    # batch items into channels and emit both pairs' outputs in the 128
+    # lanes via feature_group_count=2 (block-diagonal weights). Same total
+    # work as mix_k5 over the full batch — compare raw ms directly.
+    class MixGrouped(nn.Module):
+        @nn.compact
+        def __call__(self, x):  # x: (B/2, H, W, 2·2C) = two items' channels
+            return nn.Conv(2 * C, (5, 5), padding="SAME", dtype=dt,
+                           feature_group_count=2)(x)
+
+    x_pair = x_cat.reshape(B // 2, 2, 2 * H, 2 * H, 2 * C)
+    x_pair = jnp.moveaxis(x_pair, 1, -2).reshape(B // 2, 2 * H, 2 * H, 4 * C)
+    bench_module("mix_k5_batchlanes_group2", MixGrouped(), x_pair)
+
     # --- full-res mix conv (the biggest single block) -----------------------
     bench_module("mix_k5_128to64_608sq", nn.Conv(C, (5, 5), padding="SAME", dtype=dt), x_cat)
     bench_module("mix_k3_128to64_608sq", nn.Conv(C, (3, 3), padding="SAME", dtype=dt), x_cat)
@@ -152,6 +188,7 @@ def main(B=24, H=304, C=64):
     for name, kw in [
         ("unet64_transpose", dict(channels=(64,) * 4, upsample="transpose")),
         ("unet64_subpixel", dict(channels=(64,) * 4, upsample="subpixel")),
+        ("unet64_s2d_down", dict(channels=(64,) * 4, downsample="s2d")),
         ("unet128_transpose", dict(channels=(128,) * 4, upsample="transpose")),
     ]:
         mod = UNet(out_channels=64, kernel_size=5, compute_dtype=jnp.bfloat16, **kw)

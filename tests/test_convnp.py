@@ -222,3 +222,36 @@ def test_subpixel_upsample_exactly_matches_transpose():
             np.asarray(b.apply(pb, x)), np.asarray(a.apply(pb, x)),
             atol=2e-6, rtol=1e-5,
         )
+
+
+def test_s2d_downsample_exactly_matches_strided():
+    """The space-to-depth down-path is the SAME model as the strided conv:
+    identical parameter tree, f32 outputs equal to rounding — checkpoints
+    trained with either lowering load into the other (the down-path mirror
+    of the subpixel test above)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepsensornz_tpu.models.unet import UNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 7)).astype(np.float32))
+    for k in (3, 5):
+        a = UNet(channels=(8, 8), out_channels=8, kernel_size=k,
+                 compute_dtype=jnp.float32, downsample="strided")
+        b = UNet(channels=(8, 8), out_channels=8, kernel_size=k,
+                 compute_dtype=jnp.float32, downsample="s2d")
+        pa = a.init(jax.random.key(0), x)
+        pb = b.init(jax.random.key(1), x)
+        sa = jax.tree.map(lambda v: v.shape, pa)
+        sb = jax.tree.map(lambda v: v.shape, pb)
+        assert sa == sb
+        np.testing.assert_allclose(
+            np.asarray(a.apply(pa, x)), np.asarray(b.apply(pa, x)),
+            atol=2e-6, rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.apply(pb, x)), np.asarray(a.apply(pb, x)),
+            atol=2e-6, rtol=1e-5,
+        )

@@ -188,3 +188,89 @@ def test_spatial_sharding_equivalence_density256():
         )
     print(f"sharded-vs-unsharded: loss diff {abs(loss_mesh - float(loss_single)):.2e}, "
           f"worst relative grad diff {worst:.2e}")
+
+
+# ---------------------------------------------------------------------------
+# Beyond the train step: batch-sharded inference, the AR chain, and the AL
+# placement scan under the mesh (VERDICT r2 #6; north-star hardware v5e-8).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def inference_setting(setting):
+    from deepsensornz_tpu.infer.predict import Predictor
+
+    tl, times = setting
+    cfg = ConvNPConfig(unet_channels=(8, 8), likelihood="gnp", rank=4,
+                       internal_density=32, decoder_channels=8, mlp_hidden=8,
+                       compute_dtype="float32")
+    model = ConvNP(cfg)
+    task = tl(list(times[:8]))
+    params = model.init(jax.random.key(0), take(task, np.arange(1)))
+    return model, params, task, tl
+
+
+def test_dp_predict_grid_matches_single_device(inference_setting):
+    """Batch-sharded gridded prediction (the operational serving path,
+    ~720 tasks/call) is value-identical to single-device."""
+    from deepsensornz_tpu.infer.predict import _grid_forward_fn
+
+    model, params, task, tl = inference_setting
+    xt1 = jnp.linspace(0.1, 0.9, 16)
+    xt2 = jnp.linspace(0.1, 0.9, 16)
+    B = task.batch_size
+    aux = jnp.zeros((B, 16, 16, task.yt_aux.shape[-1]), jnp.float32)
+    fwd = _grid_forward_fn(model, 0)
+    one = jnp.asarray(1.0, jnp.float32)
+    single = fwd(params, task, (xt1, xt2, aux), jnp.asarray(0), one)
+
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    sharded = shard_task(task, mesh)
+    with jax.set_mesh(mesh):
+        multi = fwd(params, sharded, (xt1, xt2, aux), jnp.asarray(0), one)
+    np.testing.assert_allclose(np.asarray(multi["mean"]),
+                               np.asarray(single["mean"]), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(multi["std"]),
+                               np.asarray(single["std"]), rtol=2e-5, atol=1e-6)
+
+
+def test_dp_ar_chain_matches_single_device(inference_setting):
+    """The compiled AR scan under the dp mesh: same keys → same samples."""
+    from deepsensornz_tpu.infer.ar import ar_sample
+
+    model, params, task, tl = inference_setting
+    single = ar_sample(model, params, task, n_samples=1, n_blocks=3,
+                       rng=jax.random.key(5))
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    sharded = shard_task(task, mesh)
+    with jax.set_mesh(mesh):
+        multi = ar_sample(model, params, sharded, n_samples=1, n_blocks=3,
+                          rng=jax.random.key(5))
+    mask = np.asarray(task.yt_mask) > 0
+    np.testing.assert_allclose(multi[0][mask], single[0][mask],
+                               rtol=5e-4, atol=1e-5)
+
+
+def test_al_chain_under_spatial_mesh(inference_setting):
+    """Greedy AL placement scan runs under a spatially-sharded mesh and
+    reproduces the unsharded placement sequence."""
+    from deepsensornz_tpu.al.greedy import GreedyAlgorithm
+
+    model, params, task, tl = inference_setting
+    one_task = take(task, np.arange(1))
+    cand = np.stack(np.meshgrid(np.linspace(0.2, 0.8, 4),
+                                np.linspace(0.2, 0.8, 4), indexing="ij"),
+                    -1).reshape(-1, 2).astype(np.float32)
+    aux = np.zeros((len(cand), task.yt_aux.shape[-1]), np.float32)
+    single = GreedyAlgorithm(model, params).run(
+        one_task, cand, n_placements=2, candidate_aux=aux)
+
+    import dataclasses
+    model_mesh = ConvNP(dataclasses.replace(
+        model.cfg, mesh_axes=(DATA_AXIS, SPATIAL_AXIS)))
+    mesh = make_mesh(n_data=1, n_spatial=8)
+    with jax.set_mesh(mesh):
+        multi = GreedyAlgorithm(model_mesh, params).run(
+            one_task, cand, n_placements=2, candidate_aux=aux)
+    np.testing.assert_allclose(multi["placements"], single["placements"],
+                               atol=1e-6)

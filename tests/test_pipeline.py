@@ -240,3 +240,38 @@ def test_registry_elevation_lookup():
     assert got is not None and np.isfinite(got)
     # far offshore → None
     assert lookup(-44.0, 160.0) is None
+
+
+def test_recalibration_std_scale_in_artifact(trained_run):
+    """train_model (recalibrate='auto') fits std_scale on validation
+    z-scores, stores it in the checkpoint metadata, and Validate applies it:
+    z_std measured on the validation dates comes back ≈ 1."""
+    import json
+    import os
+
+    model_dir, result, out, raw = trained_run
+    base, dem, stations = raw
+    with open(os.path.join(model_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    assert "std_scale" in meta and meta["std_scale"] > 0
+    assert result.get("std_scale") == pytest.approx(meta["std_scale"])
+
+    run = load_run(model_dir)
+    assert run["std_scale"] == pytest.approx(meta["std_scale"])
+    v = Validate(run=run)
+    assert v.predictor.std_scale == pytest.approx(meta["std_scale"])
+
+    # the fit dates are the val split (last fifth of times); on them the
+    # recalibrated z_std is 1 by construction (z is affine-invariant)
+    times = base.coords["time"]
+    n_val = max(len(times) // 5, 1)
+    stats = v.calibration_stats(list(times[-n_val:]))
+    assert stats["z_std"] == pytest.approx(1.0, abs=0.05)
+
+
+def test_calibration_gate():
+    ok = {"z_std": 1.0, "coverage_95": 0.95}
+    assert Validate.calibration_gate(ok)
+    assert not Validate.calibration_gate({"z_std": 0.12, "coverage_95": 1.0})
+    assert not Validate.calibration_gate({"z_std": 1.0, "coverage_95": 1.0})
+    assert not Validate.calibration_gate({"z_std": np.nan, "coverage_95": 0.95})

@@ -135,3 +135,28 @@ def test_ar_sample_grid(setting):
     assert np.isfinite(samples[:, :, land]).all()
     # different draws differ
     assert not np.allclose(samples[0][:, land], samples[1][:, land])
+
+
+def test_std_scale_recalibration(setting):
+    """Predictor(std_scale=s) scales std by s and joint samples around the
+    mean by s, on both the gridded and point paths; the mean is untouched."""
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    scaled = Predictor(pred.model, pred.params, pred.dp, st_col, std_scale=2.0)
+    land = ~np.isnan(dem.data)
+
+    a = pred.predict_grid(task, dem, aux_at_targets=dem_n, n_samples=4, seed=7)
+    b = scaled.predict_grid(task, dem, aux_at_targets=dem_n, n_samples=4, seed=7)
+    np.testing.assert_allclose(b["mean"].data[:, land], a["mean"].data[:, land],
+                               rtol=1e-6)
+    np.testing.assert_allclose(b["std"].data[:, land],
+                               2.0 * a["std"].data[:, land], rtol=1e-5)
+    # same seed → same base noise; deviations from the mean double
+    da = a["samples"].data[:, :, land] - a["mean"].data[None, :, land]
+    db = b["samples"].data[:, :, land] - b["mean"].data[None, :, land]
+    np.testing.assert_allclose(db, 2.0 * da, rtol=1e-4, atol=1e-5)
+
+    pa = pred.predict_points(task)
+    pb = scaled.predict_points(task)
+    m = pa["mask"]
+    np.testing.assert_allclose(pb["mean"][m], pa["mean"][m], rtol=1e-6)
+    np.testing.assert_allclose(pb["std"][m], 2.0 * pa["std"][m], rtol=1e-5)

@@ -231,3 +231,117 @@ def test_wrf_regrid_weights_persisted_to_disk(wrf_archive, tmp_path):
     finally:
         sps.Delaunay = orig
     np.testing.assert_allclose(g1.data, g2.data, atol=1e-6, equal_nan=True)
+
+
+# ---------------------------------------------------------------------------
+# REFERENCE archive schema (stations.py:21-24,46-51,55-120,181-203):
+# per-variable subfolders, attrs['site name']/['agent_number'], lat/lon and
+# station_height as scalar dataset VARIABLES. Fixtures written in the
+# reference schema so the loaders are tested against the production
+# contract, not a mirror of their own writer.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def reference_archive(tmp_path_factory):
+    from deepsensornz_tpu.data.sources.stations import save_station_file_reference
+
+    root = tmp_path_factory.mktemp("ref_stations")
+    t = np.datetime64("2001-01-01", "s") + np.arange(48) * np.timedelta64(1, "h")
+    rng = np.random.default_rng(3)
+    screen = root / "ScreenObs"
+    wind = root / "Surface_Wind"
+    screen.mkdir()
+    wind.mkdir()
+    save_station_file_reference(
+        str(screen / "12345.nc"), "Alpha Ews", 12345, -36.8, 174.7, 30.0, t,
+        {"dry_bulb": 15 + rng.standard_normal(48),
+         "relative_humidity": rng.uniform(20, 100, 48)},
+    )
+    # missing station_height: the archive has such stations (stations.py:194-198)
+    save_station_file_reference(
+        str(screen / "23456.nc"), "Bravo Aws", 23456, -41.3, 174.8, None, t,
+        {"dry_bulb": 10 + rng.standard_normal(48)},
+    )
+    save_station_file_reference(
+        str(wind / "34567.nc"), "Charlie Aero", 34567, -43.5, 172.6, 5.0, t,
+        {"speed": np.abs(rng.standard_normal(48)) * 10,
+         "direction": rng.uniform(0, 360, 48)},
+    )
+    with open(screen / "corrupt.nc", "wb") as f:
+        f.write(b"definitely not hdf5")
+    return str(root)
+
+
+def test_reference_schema_metadata(reference_archive):
+    src = StationSource(reference_archive)
+    meta = src.get_metadata("temperature")  # → ScreenObs subfolder
+    assert set(meta["station_name"]) == {"Alpha Ews", "Bravo Aws"}
+    assert set(meta["station_id"]) == {12345, 23456}
+    row = meta[meta["station_name"] == "Alpha Ews"].iloc[0]
+    assert row["latitude"] == pytest.approx(-36.8)
+    assert row["longitude"] == pytest.approx(174.7)
+    assert row["elevation"] == pytest.approx(30.0)
+    # missing station_height → NaN, station still listed
+    row_b = meta[meta["station_name"] == "Bravo Aws"].iloc[0]
+    assert np.isnan(row_b["elevation"])
+    # the corrupt file is COUNTED, not silently eaten
+    assert len(src.skipped) == 1 and "corrupt" in src.skipped[0]
+
+
+def test_reference_schema_skip_warns(reference_archive):
+    src = StationSource(reference_archive)
+    with pytest.warns(UserWarning, match="skipped 1 unreadable"):
+        src.get_metadata("temperature")
+
+
+def test_reference_schema_load_time(reference_archive):
+    src = StationSource(reference_archive)
+    times = np.datetime64("2001-01-01T06", "s") + np.arange(3) * np.timedelta64(1, "h")
+    df = src.load_stations_time("temperature", times)
+    assert set(df["station_name"]) == {"Alpha Ews", "Bravo Aws"}
+    assert "dry_bulb_station" in df.columns
+    assert len(df) == 6
+    np.testing.assert_allclose(
+        sorted(df["latitude"].unique()), [-41.3, -36.8])
+
+
+def test_reference_schema_wind_uv(reference_archive):
+    """u/v derived from the archive's speed/direction variables
+    (u = −W·sinθ, v = −W·cosθ; stations.py:295-303)."""
+    src = StationSource(reference_archive)
+    times = np.datetime64("2001-01-01T00", "s") + np.arange(4) * np.timedelta64(1, "h")
+    du = src.load_stations_time("10m_u_component_of_wind", times)
+    dv = src.load_stations_time("10m_v_component_of_wind", times)
+    assert set(du["station_name"]) == {"Charlie Aero"}
+    assert "u_station" in du.columns and "v_station" in dv.columns
+    # |(u, v)| reproduces the speed series
+    spd = np.sqrt(du["u_station"].to_numpy() ** 2 + dv["v_station"].to_numpy() ** 2)
+    assert (spd >= 0).all() and np.isfinite(spd).all()
+
+
+def test_reference_schema_registry(reference_archive):
+    src = StationSource(reference_archive)
+    reg = src.build_registry(
+        variables=["temperature", "10m_u_component_of_wind"])
+    assert set(reg) == {"Alpha Ews", "Bravo Aws", "Charlie Aero"}
+    assert reg["Charlie Aero"]["station_id"] == 34567
+    assert reg["Charlie Aero"]["elevation"] == pytest.approx(5.0)
+
+
+def test_topography_discovery(tmp_path):
+    """nz_elevation_*.nc convention (topography.py:36-56); finest wins."""
+    lat = np.linspace(-34, -47, 10)
+    lon = np.linspace(166, 178, 12)
+    rng = np.random.default_rng(1)
+    for res in ("800m", "25m"):
+        dem = Field(rng.random((10, 12)) * 1000, ("latitude", "longitude"),
+                    {"latitude": lat, "longitude": lon}, "elevation",
+                    {"res": res})
+        save_dataset(Dataset([dem]), str(tmp_path / f"nz_elevation_{res}.nc"),
+                     float32=False)
+    src = TopographySource.discover(str(tmp_path))
+    assert src.path.endswith("nz_elevation_25m.nc")
+    assert src.load().shape == (10, 12)
+    with pytest.raises(FileNotFoundError):
+        TopographySource.discover(str(tmp_path / "nope"))

@@ -228,3 +228,25 @@ def test_resume_restores_schedule_state(setting, tmp_path):
            checkpoint_dir=ck)
     meta = load_checkpoint(ck, None, None)["metadata"]
     assert "sched" in meta and "stopper" in meta and "lr" in meta["sched"]
+
+
+def test_resume_is_replay_equivalent(setting, tmp_path):
+    """A 2+2-with-resume run reproduces the uninterrupted 4-epoch run
+    exactly: per-epoch shuffle seeds + post-step schedule state in the
+    checkpoint make resume a deterministic replay."""
+    model, tasks, val = setting
+    full = Trainer(model, lr=1e-3).fit(
+        tasks, val, n_epochs=4, batch_size=4, verbose=False)
+
+    ck = str(tmp_path / "replay_ckpt")
+    Trainer(model, lr=1e-3).fit(
+        tasks, val, n_epochs=2, batch_size=4, checkpoint_dir=ck,
+        verbose=False)
+    resumed = Trainer(model, lr=1e-3).fit(
+        tasks, val, n_epochs=4, batch_size=4, resume_from=ck, verbose=False)
+
+    assert len(resumed["train_losses"]) == 4
+    np.testing.assert_allclose(
+        resumed["train_losses"], full["train_losses"], rtol=1e-6)
+    np.testing.assert_allclose(
+        resumed["val_losses"], full["val_losses"], rtol=1e-6)

@@ -55,6 +55,15 @@ def test_precipitation_family(tmp_path):
     preds = loss["pred_mean"][np.isfinite(loss["pred_mean"])]
     assert (preds >= 0).all()
 
+    # wet/dry occurrence skill: P(wet) Brier + hit rate, with the base
+    # field's deterministic wetness as baseline
+    skill = v.wet_dry_skill(list(times), base_field=base, station_df=stations)
+    assert skill["n"] > 0
+    assert 0.0 <= skill["brier"] <= 1.0
+    assert 0.0 <= skill["hit_rate"] <= 1.0
+    assert np.isfinite(skill["baseline_brier"])
+    assert np.isfinite(skill["baseline_hit_rate"])
+
 
 def test_humidity_family(tmp_path):
     model_dir, result, base, dem, stations, out = run_family("humidity", tmp_path)
