@@ -60,6 +60,15 @@ class Likelihood:
         """n joint samples, shape (n, ..., M, dy)."""
         raise NotImplementedError
 
+    def cdf_bounds(self, raw: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(F(y⁻), F(y)) of the predictive distribution at each target —
+        the two coincide for continuous heads and bracket the point masses
+        of the mixed heads. Powers the randomized-PIT calibration diagnostic
+        (``Validate.pit_stats``): u ~ U(F(y⁻), F(y)) is Uniform(0,1) iff
+        the predictive distribution is calibrated, for ANY head — the
+        z-score diagnostic is only meaningful for Gaussian heads."""
+        raise NotImplementedError
+
     def _norm(self, pointwise_nll: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         # batch mean weighted by per-task validity: fully-masked tasks
         # (batch padding, `parallel/mesh.py::pad_batch_to_multiple`) must
@@ -102,6 +111,11 @@ class HeteroscedasticGaussian(Likelihood):
         mu, sigma = self._split(raw)
         eps = jax.random.normal(rng, (n,) + mu.shape, dtype=jnp.float32)
         return mu[None] + sigma[None] * eps
+
+    def cdf_bounds(self, raw, y):
+        mu, sigma = self._split(raw)
+        f = jax.scipy.stats.norm.cdf(y.astype(jnp.float32), mu, sigma)
+        return f, f
 
 
 # ---------------------------------------------------------------------------
@@ -208,6 +222,13 @@ class LowRankGaussian(Likelihood):
         corr = jnp.einsum("...mdr,s...r->s...md", fac, e2)
         return mu[None] + jnp.sqrt(var)[None] * e1 + corr
 
+    def cdf_bounds(self, raw, y):
+        # MARGINAL predictive cdf (per-target; the joint structure enters
+        # the NLL, not the pointwise calibration diagnostic)
+        mu, std = self.mean_std(raw)
+        f = jax.scipy.stats.norm.cdf(y.astype(jnp.float32), mu, std)
+        return f, f
+
 
 # ---------------------------------------------------------------------------
 # bernoulli-gamma — precipitation
@@ -257,6 +278,18 @@ class BernoulliGamma(Likelihood):
         wet = jax.random.bernoulli(k1, jnp.broadcast_to(p, (n,) + p.shape))
         gam = jax.random.gamma(k2, jnp.broadcast_to(k, (n,) + k.shape)) / rate[None]
         return (jnp.where(wet, gam, 0.0))[..., None]
+
+    def cdf_bounds(self, raw, y):
+        p, k, rate = self._split(raw)
+        yv = y[..., 0].astype(jnp.float32)
+        dry = yv <= _EPS
+        y_safe = jnp.maximum(yv, _EPS)
+        # F(y) = (1−p) + p·P(k, rate·y) for y > 0; point mass 1−p at 0
+        gamma_cdf = jax.lax.igamma(k, rate * y_safe)
+        f_wet = (1.0 - p) + p * gamma_cdf
+        lo = jnp.where(dry, 0.0, f_wet)
+        hi = jnp.where(dry, 1.0 - p, f_wet)
+        return lo[..., None], hi[..., None]
 
 
 # ---------------------------------------------------------------------------
@@ -319,6 +352,19 @@ class SpikesBeta(Likelihood):
         )
         out = jnp.where(comp == 0, 0.0, jnp.where(comp == 1, 1.0, body))
         return out[..., None]
+
+    def cdf_bounds(self, raw, y):
+        probs, alpha, beta = self._split(raw)
+        p0, p1, pb = probs[..., 0], probs[..., 1], probs[..., 2]
+        yv = jnp.clip(y[..., 0].astype(jnp.float32), 0.0, 1.0)
+        at0 = yv < _EPS
+        at1 = yv > 1.0 - _EPS
+        y_safe = jnp.clip(yv, _EPS, 1.0 - _EPS)
+        beta_cdf = jax.scipy.special.betainc(alpha, beta, y_safe)
+        f_body = p0 + pb * beta_cdf
+        lo = jnp.where(at0, 0.0, jnp.where(at1, p0 + pb, f_body))
+        hi = jnp.where(at0, p0, jnp.where(at1, 1.0, f_body))
+        return lo[..., None], hi[..., None]
 
 
 _REGISTRY = {

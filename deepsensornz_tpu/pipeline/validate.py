@@ -188,15 +188,11 @@ class Validate:
         )
         return yt * scale + offset
 
-    def get_predictions(
-        self,
-        dates,
-        remove_stations: Sequence[str] = (),
-        seed_override: int = 42,
-    ):
-        """Mean/std at station targets for the given dates, with the listed
-        stations removed from the CONTEXT (they stay targets → true holdout
-        skill; ``validate.py:1084-1118``)."""
+    def _make_tasks(self, dates, remove_stations: Sequence[str] = (),
+                    seed_override: int = 42):
+        """Tasks for the given dates with the listed stations removed from
+        the CONTEXT only (they stay targets → true holdout skill;
+        ``validate.py:1084-1118``)."""
         tl = self.task_loader
         saved_context = list(tl.context)
         try:
@@ -206,9 +202,19 @@ class Validate:
                     if hasattr(c, "columns") else c
                     for c in tl.context
                 ]
-            task = tl(list(dates), seed_override=seed_override)
+            return tl(list(dates), seed_override=seed_override)
         finally:
             tl.context = saved_context
+
+    def get_predictions(
+        self,
+        dates,
+        remove_stations: Sequence[str] = (),
+        seed_override: int = 42,
+    ):
+        """Mean/std at station targets for the given dates (holdout
+        stations removed from context)."""
+        task = self._make_tasks(dates, remove_stations, seed_override)
         out = self.predictor.predict_points(
             task, post_transform=post_transform_for(self.run["variable"])
         )
@@ -387,6 +393,49 @@ class Validate:
             "coverage_95": float(np.mean(np.abs(zf) < 1.96)) if len(zf) else np.nan,
             "coverage_68": float(np.mean(np.abs(zf) < 1.0)) if len(zf) else np.nan,
             "n": int(len(zf)),
+        }
+
+    def pit_stats(self, dates, remove_stations: Sequence[str] = (),
+                  seed: int = 0) -> dict:
+        """Randomized-PIT calibration diagnostic, valid for EVERY head.
+
+        u ~ U(F(y⁻), F(y)) is Uniform(0,1) iff the predictive distribution
+        is calibrated (randomized quantile residuals — the z-score
+        diagnostic of :meth:`calibration_stats` is only meaningful for
+        Gaussian heads; a mixed head's pooled z_std is far from 1 even for
+        a PERFECT model). Reports z = Φ⁻¹(u) moments and coverages on the
+        same scale as ``calibration_stats``, so ``calibration_gate`` applies
+        to any head. Gaussian heads include the shipped ``std_scale``
+        recalibration."""
+        import jax
+        import jax.numpy as jnp
+        from scipy.special import ndtri
+
+        task = self._make_tasks(dates, remove_stations)
+        model = self.run["model"]
+        lik = model.cfg.make_likelihood()
+        raw = jax.jit(model.apply)(self.run["params"], task)
+        if lik.name in ("cnp", "gnp"):
+            mu, std = lik.mean_std(raw)
+            std = std * float(self.predictor.std_scale)
+            f = jax.scipy.stats.norm.cdf(
+                jnp.asarray(task.yt, jnp.float32), mu, std)
+            lo = hi = np.asarray(f, np.float64)
+        else:
+            lo, hi = lik.cdf_bounds(raw, task.yt)
+            lo, hi = np.asarray(lo, np.float64), np.asarray(hi, np.float64)
+        mask = np.broadcast_to(
+            np.asarray(task.yt_mask).astype(bool)[..., None], lo.shape)
+        rng = np.random.default_rng(seed)
+        u = lo + rng.random(lo.shape) * np.maximum(hi - lo, 0.0)
+        z = ndtri(np.clip(u[mask], 1e-6, 1.0 - 1e-6))
+        z = z[np.isfinite(z)]
+        return {
+            "z_mean": float(z.mean()) if len(z) else np.nan,
+            "z_std": float(z.std()) if len(z) else np.nan,
+            "coverage_95": float(np.mean(np.abs(z) < 1.96)) if len(z) else np.nan,
+            "coverage_68": float(np.mean(np.abs(z) < 1.0)) if len(z) else np.nan,
+            "n": int(len(z)),
         }
 
     def wet_dry_skill(

@@ -92,6 +92,7 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
     sel = stations[stations["time"].isin(eval_times)]
     baseline = v.calculate_loss_base(base, sel)
     calib = v.calibration_stats(eval_times, remove_stations=holdout)
+    pit = v.pit_stats(eval_times, remove_stations=holdout)
     wet_dry = None
     if training.model.cfg.likelihood == "bernoulli-gamma":
         wet_dry = v.wet_dry_skill(eval_times, base_field=base,
@@ -110,7 +111,11 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
         "baseline_rmse_C": round(baseline["rmse"], 3),
         "std_scale": result.get("std_scale", 1.0),
         "calibration": calib,
+        # randomized-PIT: head-agnostic calibration (the z diagnostic above
+        # is only meaningful for Gaussian heads)
+        "calibration_pit": pit,
         "calibration_gate": Validate.calibration_gate(calib),
+        "calibration_gate_pit": Validate.calibration_gate(pit),
     }
     if wet_dry is not None:
         metrics["wet_dry_skill"] = wet_dry

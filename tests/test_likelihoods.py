@@ -258,3 +258,42 @@ def test_fully_masked_task_contributes_nothing(rng, name, kw):
     mask2 = jnp.concatenate([mask, jnp.zeros_like(mask)], 0)
     padded = float(lik.nll(raw2, y2, mask2))
     assert padded == pytest.approx(solo, rel=1e-6)
+
+
+def test_cdf_bounds_all_heads():
+    """cdf_bounds: within [0,1], monotone in y, matches the empirical CDF
+    of the head's own sampler (the contract behind randomized-PIT)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepsensornz_tpu.models.likelihoods import get_likelihood
+
+    rng = np.random.default_rng(0)
+    key = jax.random.key(0)
+    B, M = 2, 5
+    for name in ("cnp", "gnp", "bernoulli-gamma", "cnp-spikes-beta"):
+        lik = get_likelihood(name, dim_y=1)
+        raw = jnp.asarray(rng.normal(size=(B, M, lik.num_params())), jnp.float32)
+        ys = jnp.asarray(rng.uniform(0.05, 0.9, size=(B, M, 1)), jnp.float32)
+        lo, hi = lik.cdf_bounds(raw, ys)
+        lo, hi = np.asarray(lo), np.asarray(hi)
+        assert (lo >= -1e-6).all() and (hi <= 1 + 1e-6).all()
+        assert (hi >= lo - 1e-6).all()
+        # monotone: F at a larger y dominates
+        lo2, hi2 = lik.cdf_bounds(raw, ys + 0.05)
+        assert (np.asarray(hi2) >= hi - 1e-5).all()
+        # empirical check against the head's own sampler (mid-point of the
+        # bracket for mixed heads)
+        s = np.asarray(lik.sample(raw, key, 4000))[..., 0]  # (n, B, M)
+        emp = (s <= np.asarray(ys)[..., 0][None]).mean(0)
+        mid = 0.5 * (lo + hi)[..., 0]
+        np.testing.assert_allclose(emp, mid, atol=0.06)
+
+    # point masses: bernoulli-gamma at y=0 brackets exactly [0, 1-p]
+    lik = get_likelihood("bernoulli-gamma")
+    raw = jnp.asarray(rng.normal(size=(1, 3, 3)), jnp.float32)
+    lo, hi = lik.cdf_bounds(raw, jnp.zeros((1, 3, 1)))
+    p = jax.nn.sigmoid(raw[..., 0])
+    np.testing.assert_allclose(np.asarray(lo)[..., 0], 0.0, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(hi)[..., 0],
+                               1.0 - np.asarray(p), atol=1e-5)

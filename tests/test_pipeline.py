@@ -275,3 +275,18 @@ def test_calibration_gate():
     assert not Validate.calibration_gate({"z_std": 0.12, "coverage_95": 1.0})
     assert not Validate.calibration_gate({"z_std": 1.0, "coverage_95": 1.0})
     assert not Validate.calibration_gate({"z_std": np.nan, "coverage_95": 0.95})
+
+
+def test_pit_stats(trained_run):
+    """Randomized-PIT calibration works for any head; on the recalibrated
+    Gaussian run it agrees with the z diagnostic on the fit dates."""
+    model_dir, result, out, raw = trained_run
+    base, dem, stations = raw
+    v = Validate(model_dir)
+    times = base.coords["time"]
+    n_val = max(len(times) // 5, 1)
+    pit = v.pit_stats(list(times[-n_val:]))
+    assert pit["n"] > 0
+    assert np.isfinite(pit["z_std"])
+    # Gaussian head + std_scale fit on these dates → PIT z_std ≈ 1 too
+    assert 0.7 < pit["z_std"] < 1.3
