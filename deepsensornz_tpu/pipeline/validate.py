@@ -396,7 +396,7 @@ class Validate:
         }
 
     def pit_stats(self, dates, remove_stations: Sequence[str] = (),
-                  seed: int = 0) -> dict:
+                  seed: int = 0, return_samples: bool = False) -> dict:
         """Randomized-PIT calibration diagnostic, valid for EVERY head.
 
         u ~ U(F(y⁻), F(y)) is Uniform(0,1) iff the predictive distribution
@@ -430,13 +430,16 @@ class Validate:
         u = lo + rng.random(lo.shape) * np.maximum(hi - lo, 0.0)
         z = ndtri(np.clip(u[mask], 1e-6, 1.0 - 1e-6))
         z = z[np.isfinite(z)]
-        return {
+        out = {
             "z_mean": float(z.mean()) if len(z) else np.nan,
             "z_std": float(z.std()) if len(z) else np.nan,
             "coverage_95": float(np.mean(np.abs(z) < 1.96)) if len(z) else np.nan,
             "coverage_68": float(np.mean(np.abs(z) < 1.0)) if len(z) else np.nan,
             "n": int(len(z)),
         }
+        if return_samples:
+            out["z"] = z  # for plot.plot_calibration
+        return out
 
     def wet_dry_skill(
         self,

@@ -406,3 +406,38 @@ def make_loss_plot(train_losses: Sequence[float], val_losses: Sequence[float],
     if path:
         fig.savefig(path, dpi=120)
     return fig
+
+
+def plot_calibration(z: np.ndarray, path: Optional[str] = None, bins: int = 25):
+    """Calibration figure from standardised residuals (z-scores for
+    Gaussian heads; randomized-PIT z for any head —
+    ``Validate.pit_stats(..., return_samples=True)["z"]``): histogram
+    against the N(0,1) density, plus empirical vs nominal central-interval
+    coverage. The reference assessed calibration visually via ±2σ CI
+    timeseries (``validate.py:862-946``); this is the quantitative panel."""
+    from scipy.stats import norm
+
+    z = np.asarray(z)
+    z = z[np.isfinite(z)]
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4))
+    ax = axes[0]
+    ax.hist(z, bins=bins, density=True, alpha=0.7, label=f"z (n={len(z)})")
+    grid = np.linspace(-4, 4, 200)
+    ax.plot(grid, norm.pdf(grid), "k--", label="N(0,1)")
+    ax.set_xlabel("standardised residual")
+    ax.set_title(f"z_mean {z.mean():.2f}, z_std {z.std():.2f}")
+    ax.legend()
+
+    ax = axes[1]
+    nominal = np.linspace(0.01, 0.99, 50)
+    half = norm.ppf(0.5 + nominal / 2.0)
+    empirical = [(np.abs(z) < h).mean() for h in half]
+    ax.plot(nominal, empirical, label="empirical")
+    ax.plot([0, 1], [0, 1], "k--", label="ideal")
+    ax.set_xlabel("nominal central coverage")
+    ax.set_ylabel("empirical coverage")
+    ax.legend()
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, dpi=120)
+    return fig

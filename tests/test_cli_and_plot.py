@@ -219,3 +219,16 @@ def test_combined_map_panels(tmp_path):
     for p in ("p1.png", "p2.png", "p3.png"):
         assert (tmp_path / p).exists()
     matplotlib.pyplot.close("all")
+
+
+def test_plot_calibration(tmp_path):
+    from deepsensornz_tpu.plot import plot_calibration
+
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal(500)
+    out = str(tmp_path / "calib.png")
+    fig = plot_calibration(z, path=out)
+    assert fig is not None
+    import os
+
+    assert os.path.exists(out)
