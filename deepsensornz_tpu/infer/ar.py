@@ -59,9 +59,9 @@ def ar_sample(
     pseudo-observations (the target-variable station set; its channel count
     must equal ``dy``).
     ``std_scale`` applies the model artifact's post-hoc uncertainty
-    recalibration to each block's sample spread (Gaussian heads only —
-    scaling around the mean would break the discrete mass of the mixed
-    heads, whose calibration is not recalibrated).
+    recalibration to each block's predictive distribution via the head's
+    exact spread reparameterisation (``Likelihood.rescale_raw`` — point
+    masses of the mixed heads are preserved).
     """
     rng = jax.random.key(0) if rng is None else rng
     B, M, _ = task.xt.shape
@@ -110,7 +110,6 @@ def _chain_fn(model, B, M, dy, idx, base_n, n_extra, block, n_blocks, pad):
     so repeated ``ar_sample`` calls (operational loops, benchmarks) reuse
     the compiled executable instead of retracing a fresh closure."""
     lik = model.cfg.make_likelihood()
-    gaussian = lik.name in ("cnp", "gnp")
 
     def ar_step(params, task_ext, order, b, key, std_scale):
         """Predict at block ``b`` of (permuted) targets, sample, and write
@@ -140,10 +139,10 @@ def _chain_fn(model, B, M, dy, idx, base_n, n_extra, block, n_blocks, pad):
             yt=jnp.zeros((B, block, dy), jnp.float32),
         )
         raw = model.apply(params, probe)                      # (B, block, K)
+        # shipped recalibration: reparameterised spread, exact for every
+        # head (point masses preserved — models/likelihoods.rescale_raw)
+        raw = lik.rescale_raw(raw, std_scale)
         sample = lik.sample(raw, key, 1)[0]                   # (B, block, dy)
-        if gaussian:
-            mean, _ = lik.mean_std(raw)
-            sample = mean + (sample - mean) * std_scale
         # write sampled pseudo-observations into the AR context slots
         pc = task_ext.points[idx]
         slot = base_n + start

@@ -74,18 +74,19 @@ def _grid_forward_fn(model, n_samples: int, transfer_dtype: Optional[str] = None
     @jax.jit
     def fn(params, task, target_grid, seed, std_scale):
         raw = model.apply(params, task, target_grid=target_grid)
+        # post-hoc recalibration (traced): reparameterise the head so the
+        # predictive spread scales by std_scale around an unchanged mean —
+        # exact for every head incl. the mixed ones' point masses (fit on
+        # validation and stored in the checkpoint metadata ``std_scale``)
+        raw = lik.rescale_raw(raw, std_scale)
         mean, std = lik.mean_std(raw)
-        # post-hoc recalibration (traced): scale the predictive spread
-        # around the mean — fit on validation z-scores and stored in the
-        # model artifact (checkpoint metadata ``std_scale``)
-        out = {"mean": mean, "std": std * std_scale}
+        out = {"mean": mean, "std": std}
         if n_samples > 0:
             # flatten grid → (B, Ht*Wt, K) so the head's joint sampler applies
             B, Ht, Wt, K = raw.shape
             flat = raw.reshape(B, Ht * Wt, K)
             s = lik.sample(flat, jax.random.key(seed), n_samples)
-            s = s.reshape((n_samples, B, Ht, Wt, -1))
-            out["samples"] = mean[None] + (s - mean[None]) * std_scale
+            out["samples"] = s.reshape((n_samples, B, Ht, Wt, -1))
         if tdt is not None:
             out = {k: v.astype(tdt) for k, v in out.items()}
         return out
@@ -99,12 +100,12 @@ def _point_forward_fn(model):
 
     @jax.jit
     def fn(params, task, std_scale):
-        raw = model.apply(params, task)
+        raw = lik.rescale_raw(model.apply(params, task), std_scale)
         mean, std = lik.mean_std(raw)
-        out = {"mean": mean, "std": std * std_scale}
+        out = {"mean": mean, "std": std}
         if lik.name == "bernoulli-gamma":
             # occurrence probability for wet/dry skill scoring
-            # (Validate.wet_dry_skill)
+            # (Validate.wet_dry_skill; untouched by the spread rescale)
             out["p_wet"] = jax.nn.sigmoid(raw[..., 0])
         return out
 

@@ -37,6 +37,13 @@ def _softplus(x):
     return jax.nn.softplus(x) + _EPS
 
 
+def _inv_softplus(y):
+    """Inverse of ``_softplus`` (traced-safe): x with softplus(x)+eps = y."""
+    z = jnp.maximum(y - _EPS, 1e-8)
+    # log(expm1(z)) is stable below ~20; above, softplus(x) ≈ x
+    return jnp.where(z < 20.0, jnp.log(jnp.expm1(jnp.maximum(z, 1e-8))), z)
+
+
 @dataclasses.dataclass(frozen=True)
 class Likelihood:
     """Interface: subclasses define layout + math for one output family."""
@@ -67,6 +74,16 @@ class Likelihood:
         (``Validate.pit_stats``): u ~ U(F(y⁻), F(y)) is Uniform(0,1) iff
         the predictive distribution is calibrated, for ANY head — the
         z-score diagnostic is only meaningful for Gaussian heads."""
+        raise NotImplementedError
+
+    def rescale_raw(self, raw: jnp.ndarray, s) -> jnp.ndarray:
+        """Reparameterise ``raw`` so the predictive SPREAD scales by ``s``
+        with the mean unchanged — the post-hoc recalibration map behind the
+        model artifact's ``std_scale``. Exact per head: Gaussian σ·s;
+        low-rank (√var)·s and factors·s; Gamma body k/s², rate/s² (mean
+        k/rate fixed); Beta body α/s², β/s² (mean α/(α+β) fixed, std ≈ ×s).
+        Point masses (dry probability, humidity spikes) are untouched.
+        Applied by Predictor / AR / pit_stats, NEVER during training."""
         raise NotImplementedError
 
     def _norm(self, pointwise_nll: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -116,6 +133,12 @@ class HeteroscedasticGaussian(Likelihood):
         mu, sigma = self._split(raw)
         f = jax.scipy.stats.norm.cdf(y.astype(jnp.float32), mu, sigma)
         return f, f
+
+    def rescale_raw(self, raw, s):
+        dy = self.dim_y
+        mu = raw[..., :dy]
+        sigma = _softplus(raw[..., dy: 2 * dy]) * s
+        return jnp.concatenate([mu, _inv_softplus(sigma)], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -229,6 +252,16 @@ class LowRankGaussian(Likelihood):
         f = jax.scipy.stats.norm.cdf(y.astype(jnp.float32), mu, std)
         return f, f
 
+    def rescale_raw(self, raw, s):
+        dy, r = self.dim_y, self.rank
+        mu = raw[..., :dy]
+        # var·s² and factors·s scale the whole covariance by s² (marginal
+        # std ×s, correlation structure preserved); the 1e-4 noise floor in
+        # _split re-applies downstream
+        var = jnp.maximum(_softplus(raw[..., dy: 2 * dy]), 1e-4) * jnp.square(s)
+        fac = raw[..., 2 * dy:] * s  # raw factors are linear (÷√r in _split)
+        return jnp.concatenate([mu, _inv_softplus(var), fac], axis=-1)
+
 
 # ---------------------------------------------------------------------------
 # bernoulli-gamma — precipitation
@@ -290,6 +323,22 @@ class BernoulliGamma(Likelihood):
         lo = jnp.where(dry, 0.0, f_wet)
         hi = jnp.where(dry, 1.0 - p, f_wet)
         return lo[..., None], hi[..., None]
+
+    def rescale_raw(self, raw, s):
+        # Gamma(k/s², rate/s²): mean k/rate unchanged, std × s; the dry
+        # probability (a point mass, already PIT-exact) is untouched
+        s2 = jnp.square(s)
+        k = _softplus(raw[..., 1]) / s2
+        rate = _softplus(raw[..., 2]) / s2
+        return jnp.stack(
+            [raw[..., 0], _inv_softplus(k), _inv_softplus(rate)], axis=-1)
+
+    def body_interval(self, raw):
+        """(F_lo, F_hi) of the continuous (Gamma) body in cdf space:
+        [1−p, 1]. Body-conditional PIT (u − F_lo)/(F_hi − F_lo) isolates
+        the part a spread rescale can actually calibrate."""
+        p = jax.nn.sigmoid(raw[..., 0])
+        return (1.0 - p)[..., None], jnp.ones_like(p)[..., None]
 
 
 # ---------------------------------------------------------------------------
@@ -364,6 +413,24 @@ class SpikesBeta(Likelihood):
         f_body = p0 + pb * beta_cdf
         lo = jnp.where(at0, 0.0, jnp.where(at1, p0 + pb, f_body))
         hi = jnp.where(at0, p0, jnp.where(at1, 1.0, f_body))
+        return lo[..., None], hi[..., None]
+
+    def rescale_raw(self, raw, s):
+        # Beta(α/s², β/s²): mean α/(α+β) unchanged, std ≈ × s (exact up to
+        # the +1 in the Beta variance denominator); spike masses untouched
+        s2 = jnp.square(s)
+        alpha = _softplus(raw[..., 3]) / s2
+        beta = _softplus(raw[..., 4]) / s2
+        return jnp.concatenate(
+            [raw[..., :3], _inv_softplus(alpha)[..., None],
+             _inv_softplus(beta)[..., None]], axis=-1)
+
+    def body_interval(self, raw):
+        """(F_lo, F_hi) of the continuous (Beta) body in cdf space:
+        [p0, p0 + p_body] (the cdf jumps p0 at 0 and p1 at 1)."""
+        probs, _, _ = self._split(raw)
+        lo = probs[..., 0]
+        hi = probs[..., 0] + probs[..., 2]
         return lo[..., None], hi[..., None]
 
 

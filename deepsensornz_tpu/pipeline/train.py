@@ -39,26 +39,76 @@ from deepsensornz_tpu.train.trainer import Trainer
 def fit_std_scale(model, params, tasks, clip=(0.05, 20.0)) -> float:
     """Fit the post-hoc uncertainty recalibration factor on held-out tasks.
 
-    Returns the std of the standardised residuals z = (y − mean)/std over
-    valid targets: multiplying predicted stds by it maps the validation
-    z_std to exactly 1. z is invariant under the affine unnormalisation, so
-    the fit runs in normalised space. The factor is stored in the checkpoint
-    metadata (``std_scale``) and applied by :class:`~deepsensornz_tpu.infer.
-    predict.Predictor` — the recalibration lives in the model artifact, not
-    in any evaluation script.
+    Gaussian heads: the std of the standardised residuals z = (y − mean)/std
+    over valid targets — rescaling the spread by it maps validation z_std to
+    exactly 1 (z is affine-invariant, so the fit runs in normalised space).
+    Mixed heads (bernoulli-gamma / spikes-beta): bisection on the
+    randomized-PIT z_std of the spread-rescaled head
+    (:meth:`~deepsensornz_tpu.models.likelihoods.Likelihood.rescale_raw`) —
+    point masses are untouched, so only the continuous body recalibrates.
+    The factor is stored in the checkpoint metadata (``std_scale``) and
+    applied by :class:`~deepsensornz_tpu.infer.predict.Predictor` — the
+    recalibration lives in the model artifact, not in any evaluation script.
     """
+    import jax.numpy as jnp
+    from scipy.special import ndtri
+
     lik = model.cfg.make_likelihood()
     raw = jax.jit(model.apply)(params, tasks)
-    mean, std = lik.mean_std(raw)
-    mean = np.asarray(mean, np.float64)
-    std = np.asarray(std, np.float64)
     y = np.asarray(tasks.yt, np.float64)
-    m = np.asarray(tasks.yt_mask).astype(bool)[..., None]
-    m = np.broadcast_to(m, y.shape)
-    z = (y[m] - mean[m]) / np.maximum(std[m], 1e-9)
-    if len(z) < 2 or not np.all(np.isfinite(z)):
+    m = np.broadcast_to(
+        np.asarray(tasks.yt_mask).astype(bool)[..., None], y.shape)
+    if m.sum() < 2:
         return 1.0
-    return float(np.clip(np.std(z), *clip))
+
+    if lik.name in ("cnp", "gnp"):
+        mean, std = lik.mean_std(raw)
+        mean = np.asarray(mean, np.float64)
+        std = np.asarray(std, np.float64)
+        z = (y[m] - mean[m]) / np.maximum(std[m], 1e-9)
+        if not np.all(np.isfinite(z)):
+            return 1.0
+        return float(np.clip(np.std(z), *clip))
+
+    # mixed heads: BODY-CONDITIONAL PIT — only observations that fall in the
+    # continuous body respond to a spread rescale (point masses are exact
+    # already), and a pooled PIT fit degenerates when the body carries few
+    # obs (measured: a mostly-dry precip window pushed a pooled fit to the
+    # clip). u_cond = (F(y) − F_body_lo)/(F_body_hi − F_body_lo) ~ U(0,1)
+    # iff the body is calibrated; bisect its z_std to 1 (monotone ↓ in s).
+    cdf = jax.jit(lambda r, s: lik.cdf_bounds(lik.rescale_raw(r, s), tasks.yt))
+    bint = jax.jit(lambda r, s: lik.body_interval(lik.rescale_raw(r, s)))
+
+    def body_zstd(s: float) -> Optional[float]:
+        sj = jnp.asarray(s, jnp.float32)
+        lo, hi = cdf(raw, sj)
+        b_lo, b_hi = bint(raw, sj)
+        lo = np.asarray(lo, np.float64)
+        hi = np.asarray(hi, np.float64)
+        b_lo = np.asarray(b_lo, np.float64)
+        b_hi = np.asarray(b_hi, np.float64)
+        body = m & (np.abs(hi - lo) < 1e-9)  # continuous point: F(y⁻)=F(y)
+        span = np.maximum(b_hi - b_lo, 1e-9)
+        u = np.clip((hi - b_lo) / span, 0.0, 1.0)
+        z = ndtri(np.clip(u[body], 1e-6, 1 - 1e-6))
+        z = z[np.isfinite(z)]
+        return float(z.std()) if len(z) >= 10 else None
+
+    lo_s, hi_s = clip
+    z0 = body_zstd(1.0)
+    if z0 is None:  # too few body obs to fit → ship unscaled
+        return 1.0
+    if body_zstd(lo_s) < 1.0:   # even the sharpest allowed is too wide
+        return float(lo_s)
+    if body_zstd(hi_s) > 1.0:   # even the widest allowed is too sharp
+        return float(hi_s)
+    for _ in range(30):
+        mid = np.sqrt(lo_s * hi_s)  # bisect in log space
+        if body_zstd(mid) > 1.0:
+            lo_s = mid
+        else:
+            hi_s = mid
+    return float(np.sqrt(lo_s * hi_s))
 
 
 class Train:
@@ -201,14 +251,15 @@ class Train:
         anchor_schedule=None,
     ) -> dict:
         """``recalibrate``: fit a post-hoc ``std_scale`` on validation
-        z-scores after training and store it in the checkpoint metadata.
-        "auto" (default) recalibrates the Gaussian heads (cnp/gnp) — the
-        joint (gnp) head's NLL optimum systematically over-disperses the
-        MARGGINAL stds it reports (measured z_std ≈ 0.12 on the flagship
-        run), and a validation-fit scale is the principled correction; the
-        mixed heads (bernoulli-gamma / spikes-beta) keep scale 1.0, where
-        z-scaling has no clean meaning. ``anchor_schedule`` is forwarded to
-        :meth:`Trainer.fit` (epoch → anchor-weight multiplier)."""
+        data after training and store it in the checkpoint metadata.
+        "auto" (default) recalibrates every head — the joint (gnp) head's
+        NLL optimum systematically over-disperses the MARGINAL stds it
+        reports (measured z_std ≈ 0.12 on the flagship run), and the mixed
+        heads' bodies measured over-dispersed on PIT too; the fit is
+        closed-form validation z_std for Gaussian heads and a PIT-z
+        bisection for the mixed heads (:func:`fit_std_scale`).
+        ``anchor_schedule`` is forwarded to :meth:`Trainer.fit` (epoch →
+        anchor-weight multiplier)."""
         times = self.task_times()
         if train_times is None:
             n_val = max(len(times) // 5, 1)
@@ -245,8 +296,10 @@ class Train:
         self.train_losses = out["train_losses"]
         self.val_losses = out["val_losses"]
 
-        do_recal = (self.model.cfg.likelihood in ("cnp", "gnp", "lowrank")
-                    if recalibrate == "auto" else bool(recalibrate))
+        # "auto" now recalibrates EVERY head: Gaussian heads via closed-form
+        # validation z_std, mixed heads via PIT-z bisection on the exact
+        # spread reparameterisation (point masses preserved)
+        do_recal = True if recalibrate == "auto" else bool(recalibrate)
         self.std_scale = 1.0
         if do_recal and val_tasks is not None:
             self.std_scale = fit_std_scale(self.model, self.params, val_tasks)

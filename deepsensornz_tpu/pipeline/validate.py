@@ -415,15 +415,12 @@ class Validate:
         model = self.run["model"]
         lik = model.cfg.make_likelihood()
         raw = jax.jit(model.apply)(self.run["params"], task)
-        if lik.name in ("cnp", "gnp"):
-            mu, std = lik.mean_std(raw)
-            std = std * float(self.predictor.std_scale)
-            f = jax.scipy.stats.norm.cdf(
-                jnp.asarray(task.yt, jnp.float32), mu, std)
-            lo = hi = np.asarray(f, np.float64)
-        else:
-            lo, hi = lik.cdf_bounds(raw, task.yt)
-            lo, hi = np.asarray(lo, np.float64), np.asarray(hi, np.float64)
+        # the SHIPPED predictive distribution: spread recalibrated by the
+        # artifact's std_scale (exact per head, point masses preserved)
+        raw = lik.rescale_raw(raw, jnp.asarray(self.predictor.std_scale,
+                                               jnp.float32))
+        lo, hi = lik.cdf_bounds(raw, task.yt)
+        lo, hi = np.asarray(lo, np.float64), np.asarray(hi, np.float64)
         mask = np.broadcast_to(
             np.asarray(task.yt_mask).astype(bool)[..., None], lo.shape)
         rng = np.random.default_rng(seed)

@@ -297,3 +297,76 @@ def test_cdf_bounds_all_heads():
     np.testing.assert_allclose(np.asarray(lo)[..., 0], 0.0, atol=1e-7)
     np.testing.assert_allclose(np.asarray(hi)[..., 0],
                                1.0 - np.asarray(p), atol=1e-5)
+
+
+def test_rescale_raw_all_heads():
+    """rescale_raw: mean unchanged, spread ×s, point masses untouched —
+    verified against each head's own moments and sampler."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepsensornz_tpu.models.likelihoods import get_likelihood
+
+    rng = np.random.default_rng(1)
+    s = jnp.asarray(2.0, jnp.float32)
+    # Gaussian heads: TOTAL std scales exactly by s, mean unchanged
+    for name in ("cnp", "gnp"):
+        lik = get_likelihood(name, dim_y=1)
+        raw = jnp.asarray(rng.normal(size=(2, 6, lik.num_params())), jnp.float32)
+        raw2 = lik.rescale_raw(raw, s)
+        m1, sd1 = lik.mean_std(raw)
+        m2, sd2 = lik.mean_std(raw2)
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(sd2) / np.maximum(np.asarray(sd1), 1e-9), 2.0,
+            rtol=1e-3, err_msg=name)
+        # identity at s=1
+        raw1 = lik.rescale_raw(raw, jnp.asarray(1.0, jnp.float32))
+        _, sd3 = lik.mean_std(raw1)
+        np.testing.assert_allclose(np.asarray(sd3), np.asarray(sd1),
+                                   rtol=2e-4, err_msg=name)
+
+    # Mixed heads: the BODY spread scales (point masses cannot), body mean
+    # fixed — check the component distributions directly
+    lik = get_likelihood("bernoulli-gamma")
+    raw = jnp.asarray(rng.normal(size=(2, 6, 3)), jnp.float32)
+    raw2 = lik.rescale_raw(raw, s)
+    p1, k1, r1 = lik._split(raw)
+    p2, k2, r2 = lik._split(raw2)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(k2 / r2), np.asarray(k1 / r1),
+                               rtol=1e-3)  # gamma mean fixed
+    np.testing.assert_allclose(                     # gamma std x2
+        np.asarray(jnp.sqrt(k2) / r2) / np.asarray(jnp.sqrt(k1) / r1), 2.0,
+        rtol=1e-3)
+
+    lik = get_likelihood("cnp-spikes-beta")
+    raw = jnp.asarray(rng.normal(size=(2, 6, 5)), jnp.float32)
+    # concentrated body (α+β ≫ 1): the ×s spread scaling is asymptotic in
+    # the concentration (the +1 in the Beta variance denominator); at tiny
+    # α+β the map is still monotone-widening, which is all the PIT
+    # bisection fit needs
+    raw = raw.at[..., 3:5].add(4.0)
+    raw2 = lik.rescale_raw(raw, s)
+    pr1, a1, b1 = lik._split(raw)
+    pr2, a2, b2 = lik._split(raw2)
+    np.testing.assert_allclose(np.asarray(a2 / (a2 + b2)),
+                               np.asarray(a1 / (a1 + b1)), rtol=1e-3)
+    v1 = np.asarray(a1 * b1 / (jnp.square(a1 + b1) * (a1 + b1 + 1.0)))
+    v2 = np.asarray(a2 * b2 / (jnp.square(a2 + b2) * (a2 + b2 + 1.0)))
+    # x4 variance up to the +1 denominator term
+    np.testing.assert_allclose(np.sqrt(v2 / v1), 2.0, rtol=0.35)
+
+    # point masses preserved: bernoulli-gamma dry probability identical
+    lik = get_likelihood("bernoulli-gamma")
+    raw = jnp.asarray(rng.normal(size=(1, 4, 3)), jnp.float32)
+    raw2 = lik.rescale_raw(raw, s)
+    np.testing.assert_allclose(np.asarray(raw2[..., 0]),
+                               np.asarray(raw[..., 0]))
+    # spikes-beta spike logits identical
+    lik = get_likelihood("cnp-spikes-beta")
+    raw = jnp.asarray(rng.normal(size=(1, 4, 5)), jnp.float32)
+    raw2 = lik.rescale_raw(raw, s)
+    np.testing.assert_allclose(np.asarray(raw2[..., :3]),
+                               np.asarray(raw[..., :3]))

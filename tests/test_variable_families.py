@@ -64,6 +64,14 @@ def test_precipitation_family(tmp_path):
     assert np.isfinite(skill["baseline_brier"])
     assert np.isfinite(skill["baseline_hit_rate"])
 
+    # mixed-head recalibration: the PIT-bisection fit stored a std_scale
+    # and the shipped PIT z_std on the fit dates comes back near 1
+    assert meta.get("std_scale", 0) > 0
+    all_times = base.coords["time"]
+    n_val = max(len(all_times) // 5, 1)
+    pit = v.pit_stats(list(all_times[-n_val:]))
+    assert pit["n"] > 0 and 0.5 < pit["z_std"] < 1.5
+
 
 def test_humidity_family(tmp_path):
     model_dir, result, base, dem, stations, out = run_family("humidity", tmp_path)
