@@ -110,26 +110,35 @@ def make_train_step(
             state.params, task, anchor_scale)
         # a step is only applied if BOTH the loss and every gradient are
         # finite — a finite loss with exploding grads (e.g. through a
-        # near-singular Cholesky backward) would otherwise poison params
+        # near-singular Cholesky backward) would otherwise poison params.
+        # The guard is a lax.cond, NOT jnp.where gating: where-gating keeps
+        # the OLD and NEW optimizer states live simultaneously (4×-params
+        # of Adam moments at peak), which is what pushed density-1000
+        # batch-2 past 16 GB HBM in round 2; with cond only the taken
+        # branch's buffers exist and XLA reuses the donated state in place.
         ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
-        grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), grads)
-        updates, opt_state = opt.update(grads, state.opt_state, state.params)
-        # gate the WHOLE update with ok: Adam moments and decoupled weight
-        # decay produce nonzero updates even from zero grads, so a
-        # non-finite step must also zero the final update tree — otherwise
-        # params move on a "skipped" step
-        updates = jax.tree.map(lambda u: jnp.where(ok, u * lr, 0.0), updates)
-        if frozen_patterns:
-            mask = freeze_mask(state.params, frozen_patterns)
-            updates = jax.tree.map(
-                lambda u, m: jnp.where(m, 0.0, u), updates, mask
-            )
-        params = optax.apply_updates(state.params, updates)
-        # on a bad step revert the optimizer state ENTIRELY — including the
-        # int step count, so Adam bias correction stays consistent with the
-        # rolled-back moments
-        opt_state = jax.tree.map(
-            lambda new, old: jnp.where(ok, new, old), opt_state, state.opt_state,
+
+        def apply_branch(args):
+            grads, params, opt_state = args
+            updates, new_opt = opt.update(grads, opt_state, params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            if frozen_patterns:
+                mask = freeze_mask(params, frozen_patterns)
+                updates = jax.tree.map(
+                    lambda u, m: jnp.where(m, 0.0, u), updates, mask
+                )
+            return optax.apply_updates(params, updates), new_opt
+
+        def skip_branch(args):
+            # bad step: params and the ENTIRE optimizer state (incl. the
+            # int step count, so Adam bias correction stays consistent)
+            # pass through unchanged
+            _, params, opt_state = args
+            return params, opt_state
+
+        params, opt_state = jax.lax.cond(
+            ok, apply_branch, skip_branch,
+            (grads, state.params, state.opt_state),
         )
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         return new_state, jnp.where(ok, loss, jnp.nan)
