@@ -49,6 +49,11 @@ except Exception:  # pragma: no cover
     pd = None
 
 
+class VariableAbsent(KeyError):
+    """The file opened fine but does not carry the requested variable —
+    benign (mixed archives), unlike a structurally broken file."""
+
+
 def _scalar_var(ds, name: str) -> Optional[float]:
     """A 0-d (or length-1) dataset variable as float, else None."""
     if name in ds:
@@ -150,8 +155,19 @@ class StationSource:
         """name → {station_id, latitude, longitude, elevation}: the
         generator of the reference's ``STATION_LATLON`` table
         (``get_all_station_info``, ``stations.py:205-214`` — first
-        occurrence of a name across variables wins)."""
-        variables = list(variables) if variables else [None]
+        occurrence of a name across variables wins).
+
+        With ``variables=None`` every variable whose per-variable subfolder
+        exists is scanned (plus the flat parent for single-folder archives)
+        — defaulting to the flat parent alone would silently produce an
+        empty registry on a reference-layout archive."""
+        if variables:
+            variables = list(variables)
+        else:
+            variables = [v for v in cfg.VAR_STATIONS
+                         if self.variable_dir(v) != self.parent]
+            if self.station_files(None):
+                variables.append(None)  # flat single-folder archive
         reg: dict = {}
         for var in variables:
             meta = self.get_metadata(var)
@@ -162,6 +178,12 @@ class StationSource:
                     "longitude": r["longitude"],
                     "elevation": r["elevation"],
                 })
+        if not reg:
+            warnings.warn(
+                f"StationSource.build_registry: no stations found under "
+                f"{self.parent!r} (scanned {variables!r}) — wrong archive "
+                "path or layout?", stacklevel=2,
+            )
         if cache_path:
             with open(cache_path, "w") as f:
                 json.dump(reg, f, indent=1)
@@ -183,7 +205,7 @@ class StationSource:
                     u, v = wind_components(ds[sp].data, ds[dr].data)
                     vals = u if "u_component" in variable else v
                     return vals, ds[sp].coords["time"]
-        raise KeyError(f"{short} not in {path}")
+        raise VariableAbsent(f"{short} not in {path}")
 
     def load_station(self, path: str, variable: str, daily: bool = False) -> "pd.DataFrame":
         """One station's frame with lon/lat/name attached
@@ -225,9 +247,12 @@ class StationSource:
         for path in self.station_files(variable):
             try:
                 df = self.load_station(path, variable, daily=daily)
-            except KeyError:
+            except VariableAbsent:
                 continue  # file readable, variable absent — not corrupt
             except Exception:
+                # includes KeyErrors raised deeper in load_station (value
+                # variable present but e.g. no time coord): structurally
+                # broken files must be COUNTED, not read as variable-absent
                 self.skipped.append(path)
                 continue
             name = df["station_name"].iloc[0] if len(df) else ""

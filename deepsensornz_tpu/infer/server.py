@@ -41,8 +41,11 @@ class PredictService:
         # when the accelerator is remote; docs/results/operational_month_r2.json)
         self.predictor = Predictor(
             self.run["model"], self.run["params"], self.run["data_processor"],
-            self.run["task_loader"].target_var_IDs[0],
+            self.run["task_loader"].target_var_IDs,
             transfer_dtype=transfer_dtype,
+            # serve the shipped recalibration: without it every /predict
+            # response would report the raw (miscalibrated) spread
+            std_scale=self.run.get("std_scale", 1.0),
         )
         self.lock = threading.Lock()
 

@@ -98,13 +98,21 @@ def fit_std_scale(model, params, tasks, clip=(0.05, 20.0)) -> float:
     z0 = body_zstd(1.0)
     if z0 is None:  # too few body obs to fit → ship unscaled
         return 1.0
-    if body_zstd(lo_s) < 1.0:   # even the sharpest allowed is too wide
+    # body membership is recomputed per-s; at extreme s the body can
+    # degenerate (igamma at huge shape → NaN CDFs) and body_zstd returns
+    # None — never compare None against 1.0, fall back instead
+    z_lo = body_zstd(lo_s)
+    if z_lo is not None and z_lo < 1.0:  # even the sharpest allowed is too wide
         return float(lo_s)
-    if body_zstd(hi_s) > 1.0:   # even the widest allowed is too sharp
+    z_hi = body_zstd(hi_s)
+    if z_hi is not None and z_hi > 1.0:  # even the widest allowed is too sharp
         return float(hi_s)
     for _ in range(30):
         mid = np.sqrt(lo_s * hi_s)  # bisect in log space
-        if body_zstd(mid) > 1.0:
+        z_mid = body_zstd(mid)
+        if z_mid is None:  # body degenerated — stop refining
+            break
+        if z_mid > 1.0:
             lo_s = mid
         else:
             hi_s = mid
@@ -264,6 +272,8 @@ class Train:
         if train_times is None:
             n_val = max(len(times) // 5, 1)
             train_times, val_times = times[:-n_val], times[-n_val:]
+        if val_times is None:  # explicit train_times, no validation split
+            val_times = []
         task_kwargs = task_kwargs or {"datewise_deterministic": True}
         train_tasks = self.create_tasks(train_times, **task_kwargs)
         val_tasks = self.create_tasks(val_times, **task_kwargs) if len(val_times) else None
@@ -301,6 +311,9 @@ class Train:
         # spread reparameterisation (point masses preserved)
         do_recal = True if recalibrate == "auto" else bool(recalibrate)
         self.std_scale = 1.0
+        if do_recal and val_tasks is None and verbose:
+            print("recalibration skipped: no validation tasks "
+                  "(std_scale stays 1.0 — pass val_times to fit it)")
         if do_recal and val_tasks is not None:
             self.std_scale = fit_std_scale(self.model, self.params, val_tasks)
             out["std_scale"] = self.std_scale

@@ -168,7 +168,9 @@ class Validate:
         self.run = run or load_run(model_dir)
         self.predictor = Predictor(
             self.run["model"], self.run["params"], self.run["data_processor"],
-            self.run["task_loader"].target_var_IDs[0],
+            # full ID list: dim_yt>1 artifacts (e.g. joint wind u+v) need one
+            # name per channel; Predictor handles both 1- and N-long lists
+            self.run["task_loader"].target_var_IDs,
             std_scale=self.run.get("std_scale", 1.0),
         )
 
@@ -414,7 +416,12 @@ class Validate:
         task = self._make_tasks(dates, remove_stations)
         model = self.run["model"]
         lik = model.cfg.make_likelihood()
-        raw = jax.jit(model.apply)(self.run["params"], task)
+        # cache the jitted forward on the instance: a fresh jax.jit wrapper
+        # per call would retrace+recompile every invocation (~minutes
+        # through the remote-TPU relay)
+        if not hasattr(self, "_jit_apply"):
+            self._jit_apply = jax.jit(model.apply)
+        raw = self._jit_apply(self.run["params"], task)
         # the SHIPPED predictive distribution: spread recalibrated by the
         # artifact's std_scale (exact per head, point masses preserved)
         raw = lik.rescale_raw(raw, jnp.asarray(self.predictor.std_scale,
@@ -544,7 +551,7 @@ class ValidateERA:
         self.pred_grid = pred_grid if pred_grid is not None else dem.coarsen(highres_factor)
         self.predictor = predictor or Predictor(
             self.run["model"], self.run["params"], self.run["data_processor"],
-            self.run["task_loader"].target_var_IDs[0],
+            self.run["task_loader"].target_var_IDs,
             transfer_dtype=transfer_dtype,
             std_scale=self.run.get("std_scale", 1.0),
         )

@@ -368,6 +368,7 @@ class Trainer:
             # state already reflects this epoch's val — a resumed run then
             # continues with exactly the counters/LR the uninterrupted run
             # carried into the next epoch (replay-equivalent resume)
+            lr_used = lr  # the lr this epoch actually trained at (for the log)
             lr = sched.step(val_loss)
             should_stop = stopper.step(val_loss)
             if is_best:
@@ -388,7 +389,7 @@ class Trainer:
             if verbose:
                 print(
                     f"epoch {epoch:3d}  train {train_loss:.4f}  val {val_loss:.4f}"
-                    f"  lr {lr:.2e}  {time.time()-t0:.1f}s"
+                    f"  lr {lr_used:.2e}  {time.time()-t0:.1f}s"
                 )
             if should_stop:
                 break

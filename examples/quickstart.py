@@ -43,7 +43,8 @@ def main():
     # 4. gridded prediction in physical units
     predictor = Predictor(
         training.model, result["params"], training.dp,
-        training.task_loader.target_var_IDs[0],
+        training.task_loader.target_var_IDs,
+        std_scale=result.get("std_scale", 1.0),
     )
     task = training.task_loader([base.coords["time"][0]])
     pred = predictor.predict_grid(

@@ -16,7 +16,9 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))  # run as `python perf/...py`
-from unet_bench import _timeit_ingraph  # noqa: E402
+from unet_bench import (  # noqa: E402
+    _timeit_ingraph, down_ctx_module, mix_grouped_module, pack_batch_pairs,
+)
 
 
 def main(B=24, H=304, C=64):
@@ -44,31 +46,11 @@ def main(B=24, H=304, C=64):
                                        padding="SAME", dtype=dt), x_hi)
     bench_module("conv_k5_s2_s2d", _S2DDown(C, 5, dtype=dt), x_hi)
 
-    # fusion context: relu → down (what the U-Net actually runs)
-    class DownCtx(nn.Module):
-        mode: str = "strided"
-
-        @nn.compact
-        def __call__(self, x):
-            x = nn.relu(x)
-            if self.mode == "s2d":
-                return _S2DDown(C, 5, dtype=dt)(x)
-            return nn.Conv(C, (5, 5), strides=(2, 2), padding="SAME", dtype=dt)(x)
-
-    bench_module("downctx_strided", DownCtx("strided"), x_hi)
-    bench_module("downctx_s2d", DownCtx("s2d"), x_hi)
-
-    # batch-in-lanes probe: two batch items' outputs in the 128 lanes via
-    # feature_group_count=2 — same total work as the full-batch mix conv
-    class MixGrouped(nn.Module):
-        @nn.compact
-        def __call__(self, x):
-            return nn.Conv(2 * C, (5, 5), padding="SAME", dtype=dt,
-                           feature_group_count=2)(x)
-
-    x_pair = x_cat.reshape(B // 2, 2, 2 * H, 2 * H, 2 * C)
-    x_pair = jnp.moveaxis(x_pair, 1, -2).reshape(B // 2, 2 * H, 2 * H, 4 * C)
-    bench_module("mix_k5_batchlanes_group2", MixGrouped(), x_pair)
+    # fusion context + batch-in-lanes probe — shared modules with unet_bench
+    bench_module("downctx_strided", down_ctx_module(C, dt, "strided"), x_hi)
+    bench_module("downctx_s2d", down_ctx_module(C, dt, "s2d"), x_hi)
+    bench_module("mix_k5_batchlanes_group2", mix_grouped_module(C, dt),
+                 pack_batch_pairs(x_cat, B, H, C))
 
     # control: the plain full-res mix conv (round-2 reference point)
     bench_module("mix_k5_128to64_608sq",

@@ -60,6 +60,51 @@ def _timeit_ingraph(make_apply, params, x, reps=5):
     return float(np.median(ts))
 
 
+# -- shared candidate modules (also used by perf/downconv_bench.py) ----------
+
+def down_ctx_module(C, dt, mode: str):
+    """relu → stride-2-k5 down conv (the U-Net's actual fusion context),
+    either as the strided original or the space-to-depth lowering."""
+    from flax import linen as nn
+
+    from deepsensornz_tpu.models.unet import _S2DDown
+
+    class DownCtx(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(x)
+            if mode == "s2d":
+                return _S2DDown(C, 5, dtype=dt)(x)
+            return nn.Conv(C, (5, 5), strides=(2, 2), padding="SAME", dtype=dt)(x)
+
+    return DownCtx()
+
+
+def mix_grouped_module(C, dt):
+    """Batch-in-lanes probe for the 64-out-channel convs: a PAIR of batch
+    items' outputs in the 128 lanes via feature_group_count=2
+    (block-diagonal weights). Same total work as the full-batch mix conv —
+    compare raw ms directly."""
+    from flax import linen as nn
+
+    class MixGrouped(nn.Module):
+        @nn.compact
+        def __call__(self, x):  # x: (B/2, H, W, 2·2C) = two items' channels
+            return nn.Conv(2 * C, (5, 5), padding="SAME", dtype=dt,
+                           feature_group_count=2)(x)
+
+    return MixGrouped()
+
+
+def pack_batch_pairs(x_cat, B, H, C):
+    """(B, 2H, 2H, 2C) → (B/2, 2H, 2H, 4C): two batch items' channels
+    side by side for the batch-in-lanes probe."""
+    import jax.numpy as jnp
+
+    x = x_cat.reshape(B // 2, 2, 2 * H, 2 * H, 2 * C)
+    return jnp.moveaxis(x, 1, -2).reshape(B // 2, 2 * H, 2 * H, 4 * C)
+
+
 def main(B=24, H=304, C=64):
     import jax
     import jax.numpy as jnp
@@ -150,32 +195,11 @@ def main(B=24, H=304, C=64):
     bench_module("conv_k5_s2_s2d", _S2DDown(C, 5, dtype=dt), x_hi)
 
     # down in fusion context: relu → down (what the U-Net actually runs)
-    class DownCtx(nn.Module):
-        mode: str = "strided"
+    bench_module("downctx_strided", down_ctx_module(C, dt, "strided"), x_hi)
+    bench_module("downctx_s2d", down_ctx_module(C, dt, "s2d"), x_hi)
 
-        @nn.compact
-        def __call__(self, x):
-            x = nn.relu(x)
-            if self.mode == "s2d":
-                return _S2DDown(C, 5, dtype=dt)(x)
-            return nn.Conv(C, (5, 5), strides=(2, 2), padding="SAME", dtype=dt)(x)
-
-    bench_module("downctx_strided", DownCtx("strided"), x_hi)
-    bench_module("downctx_s2d", DownCtx("s2d"), x_hi)
-
-    # batch-in-lanes probe for the 64-out-channel convs: pack a PAIR of
-    # batch items into channels and emit both pairs' outputs in the 128
-    # lanes via feature_group_count=2 (block-diagonal weights). Same total
-    # work as mix_k5 over the full batch — compare raw ms directly.
-    class MixGrouped(nn.Module):
-        @nn.compact
-        def __call__(self, x):  # x: (B/2, H, W, 2·2C) = two items' channels
-            return nn.Conv(2 * C, (5, 5), padding="SAME", dtype=dt,
-                           feature_group_count=2)(x)
-
-    x_pair = x_cat.reshape(B // 2, 2, 2 * H, 2 * H, 2 * C)
-    x_pair = jnp.moveaxis(x_pair, 1, -2).reshape(B // 2, 2 * H, 2 * H, 4 * C)
-    bench_module("mix_k5_batchlanes_group2", MixGrouped(), x_pair)
+    bench_module("mix_k5_batchlanes_group2", mix_grouped_module(C, dt),
+                 pack_batch_pairs(x_cat, B, H, C))
 
     # --- full-res mix conv (the biggest single block) -----------------------
     bench_module("mix_k5_128to64_608sq", nn.Conv(C, (5, 5), padding="SAME", dtype=dt), x_cat)
