@@ -35,12 +35,12 @@ def served(tmp_path_factory):
     port = httpd.server_address[1]
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
-    yield port, base
+    yield port, base, httpd
     httpd.shutdown()
 
 
 def test_health(served):
-    port, base = served
+    port, base, _ = served
     with urllib.request.urlopen(f"http://127.0.0.1:{port}/health") as r:
         body = json.loads(r.read())
     assert body["status"] == "ok"
@@ -48,7 +48,7 @@ def test_health(served):
 
 
 def test_predict_endpoint(served):
-    port, base = served
+    port, base, _ = served
     t = str(base.coords["time"][0])
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}/predict",
@@ -65,7 +65,7 @@ def test_predict_endpoint(served):
 
 
 def test_predict_bad_request(served):
-    port, _ = served
+    port, _, _ = served
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}/predict",
         data=json.dumps({"nope": 1}).encode(),
@@ -73,3 +73,14 @@ def test_predict_bad_request(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_service_applies_shipped_recalibration(served):
+    # the serving path must carry the artifact's std_scale — without it
+    # every /predict response reports the raw (uncalibrated) spread
+    _, _, httpd = served
+    svc = httpd.service
+    assert svc.predictor.std_scale == pytest.approx(
+        float(svc.run["std_scale"])
+    )
+    assert svc.run["std_scale"] != 1.0  # fixture run actually fit one
