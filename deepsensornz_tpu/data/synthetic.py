@@ -151,6 +151,12 @@ def synthetic_stations(
                 # elevation-dependent drying + small noise (bounded [0, 1])
                 y = float(np.clip(y * (1 - 0.0004 * float(elevs[si]))
                                   + rng.normal(0, 0.02), 0.0, 1.0))
+            elif variable == "surface_pressure":
+                # barometric elevation reduction (scale height ~8434 m) —
+                # the learnable sub-grid signal for pressure; ~20 Pa gauge
+                # noise (proportional noise at 101 kPa would be ~5 kPa and
+                # swamp the ±600 Pa synoptic signal entirely)
+                y = y * float(np.exp(-float(elevs[si]) / 8434.0)) + rng.normal(0, 20.0)
             else:
                 y = y + rng.normal(0, 0.05 * (abs(y) + 1.0))
             rows.append({
