@@ -27,7 +27,7 @@ import numpy as np
 
 
 def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
-         anchor_decay=None, **convnp_extra):
+         anchor_decay=None, internal_density=500, **convnp_extra):
     os.makedirs(out_dir, exist_ok=True)
     import jax
 
@@ -51,7 +51,8 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
     training = Train(processed)
     # reference training recipe: complementary station split
     # (TaskLoader_SampleStations, train.py:525-637)
-    training.setup_task_loader(station_as_context="split", internal_density=500)
+    training.setup_task_loader(station_as_context="split",
+                               internal_density=internal_density)
     # the reference's DEFAULT model kwargs (config.py:2685-2689): (64,)*4,
     # likelihood 'gnp', density 500 — passed explicitly because
     # initialise_model otherwise resolves the per-VARIABLE likelihood
@@ -103,7 +104,8 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
         "config": training.model_config_dict,
         "recipe": {"n_epochs": n_epochs, "batch_size": 8, "lr": 5e-5,
                    "station_as_context": "split",
-                   "anchor_decay": anchor_decay},
+                   "anchor_decay": anchor_decay,
+                   "internal_density": internal_density},
         "epochs_run": len(result["train_losses"]),
         "train_wall_s": round(train_s, 1),
         "best_val_nll": float(result["best_val"]),
