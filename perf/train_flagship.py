@@ -27,7 +27,7 @@ import numpy as np
 
 
 def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
-         anchor_decay=None, internal_density=500, **convnp_extra):
+         anchor_decay=None, internal_density=500, seed=0, **convnp_extra):
     os.makedirs(out_dir, exist_ok=True)
     import jax
 
@@ -41,7 +41,7 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
 
     base, dem, stations = synthetic_bundle(
         variable=variable, n_times=40, base_hw=(32, 32),
-        dem_hw=(128, 128), n_stations=100,
+        dem_hw=(128, 128), n_stations=100, seed=seed,
     )
     pre = PreprocessForDownscaling(variable=variable)
     processed = pre.run_processing_sequence(
@@ -105,7 +105,7 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
         "recipe": {"n_epochs": n_epochs, "batch_size": 8, "lr": 5e-5,
                    "station_as_context": "split",
                    "anchor_decay": anchor_decay,
-                   "internal_density": internal_density},
+                   "internal_density": internal_density, "seed": seed},
         "epochs_run": len(result["train_losses"]),
         "train_wall_s": round(train_s, 1),
         "best_val_nll": float(result["best_val"]),
