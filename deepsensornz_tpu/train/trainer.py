@@ -389,7 +389,8 @@ class Trainer:
             if verbose:
                 print(
                     f"epoch {epoch:3d}  train {train_loss:.4f}  val {val_loss:.4f}"
-                    f"  lr {lr_used:.2e}  {time.time()-t0:.1f}s"
+                    f"  lr {lr_used:.2e}  {time.time()-t0:.1f}s",
+                    flush=True,  # nohup'd TPU runs are block-buffered otherwise
                 )
             if should_stop:
                 break
