@@ -92,6 +92,16 @@ class ConvNPConfig:
     # flagship: holdout 0.81 °C vs 3.18 °C unanchored) — and 0.0 for the
     # per-point heads, which do not decouple. Set 0.0 explicitly to disable.
     mean_anchor: Optional[float] = None
+    # Physical (normalised-coordinate) SetConv length-scale at init.
+    # None = 2/internal_density + the half-grid-spacing floor (the shipped
+    # default). Measured fact (round 3): the length-scale params receive
+    # essentially no gradient — flagship checkpoints end EXACTLY at their
+    # effective init (d500 → 0.00500, d350 → 0.00714, all four scales,
+    # gnp AND cnp) — so this init IS the model's smoothing scale, and
+    # decoupling it from the grid density is the lever that isolates the
+    # density-350 quality mechanism (docs/results/flagship_density_frontier
+    # .json). Must exceed 0.5/internal_density (the resolution floor).
+    init_lengthscale: Optional[float] = None
 
     def anchor_weight(self) -> float:
         if self.mean_anchor is not None:
@@ -113,12 +123,21 @@ class ConvNP(nn.Module):
     cfg: ConvNPConfig
 
     def _lengthscale(self, name: str) -> jnp.ndarray:
-        init = _inv_softplus(default_lengthscale(self.cfg.internal_density))
-        raw = self.param(name, lambda _: jnp.asarray(init, jnp.float32))
         # floor at half the internal grid spacing: a narrower kernel cannot
         # be resolved by the grid anyway, and softplus→0 would make the RBF
         # exponent 0·inf = NaN wherever a point lands exactly on a grid node
         min_ls = 0.5 / float(self.cfg.internal_density)
+        if self.cfg.init_lengthscale is not None:
+            target = float(self.cfg.init_lengthscale)
+            if target <= min_ls:
+                raise ValueError(
+                    f"init_lengthscale {target} must exceed the grid "
+                    f"resolution floor 0.5/internal_density = {min_ls}"
+                )
+            init = _inv_softplus(target - min_ls)
+        else:
+            init = _inv_softplus(default_lengthscale(self.cfg.internal_density))
+        raw = self.param(name, lambda _: jnp.asarray(init, jnp.float32))
         return jax.nn.softplus(raw) + min_ls
 
     @nn.compact

@@ -152,6 +152,37 @@ def test_lengthscale_floor(setup):
     assert np.isfinite(loss)
 
 
+def test_init_lengthscale_override(setup):
+    """``init_lengthscale`` pins the EFFECTIVE SetConv length-scale at init
+    (softplus(raw)+floor == requested value exactly), decoupling the
+    smoothing scale from ``internal_density``. Measured motivation: flagship
+    length-scales never move from their effective init (round-3 density
+    mechanism study), so the init IS the model's smoothing scale."""
+    import dataclasses
+
+    model, params, tl, times, cfg = setup
+    target = 0.0911
+    cfg2 = dataclasses.replace(cfg, init_lengthscale=target)
+    model2 = ConvNP(cfg2)
+    task = tl(list(times[:1]))
+    params2 = model2.init(jax.random.key(0), task)
+    floor = 0.5 / cfg.internal_density
+    for k, v in params2["params"].items():
+        if k.startswith("ls_"):
+            eff = float(jax.nn.softplus(v) + floor)
+            assert abs(eff - target) < 1e-6, (k, eff)
+    # default (None) keeps the shipped behaviour: 2/density + floor
+    for k, v in params["params"].items():
+        if k.startswith("ls_"):
+            eff = float(jax.nn.softplus(v) + floor)
+            assert abs(eff - (2.0 / cfg.internal_density + floor)) < 1e-6
+    # below the resolution floor must refuse loudly
+    with pytest.raises(ValueError):
+        ConvNP(dataclasses.replace(cfg, init_lengthscale=floor / 2)).init(
+            jax.random.key(0), task
+        )
+
+
 def test_gnp_mean_anchor_default_on():
     """The reference's DEFAULT likelihood (gnp, config.py:2685-2689) must be
     good out of the box: the mean anchor that fixes joint-NLL/RMSE
