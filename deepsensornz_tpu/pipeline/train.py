@@ -257,6 +257,7 @@ class Train:
         verbose: bool = True,
         recalibrate: str | bool = "auto",
         anchor_schedule=None,
+        lengthscale_lr_mult: float = 1.0,
     ) -> dict:
         """``recalibrate``: fit a post-hoc ``std_scale`` on validation
         data after training and store it in the checkpoint metadata.
@@ -289,6 +290,7 @@ class Train:
             self.model, lr=lr, weight_decay=weight_decay,
             frozen_patterns=getattr(self, "frozen_patterns", ()),
             seed=self.seed,
+            lengthscale_lr_mult=lengthscale_lr_mult,
         )
         out = trainer.fit(
             train_tasks, val_tasks,

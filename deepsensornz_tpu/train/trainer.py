@@ -100,8 +100,17 @@ def make_train_step(
     weight_decay: float = 0.0,
     frozen_patterns: Sequence[str] = (),
     donate: bool = True,
+    lengthscale_lr_mult: float = 1.0,
 ) -> Callable:
-    """Build the jitted (state, task, lr) → (state, loss) step."""
+    """Build the jitted (state, task, lr) → (state, loss) step.
+
+    ``lengthscale_lr_mult`` scales the UPDATE (post-Adam, so gradient
+    magnitude is irrelevant) on the SetConv length-scale params. Measured
+    motivation (round 3 density-mechanism study): at the flagship recipe,
+    Adam's lr×steps budget moves the raw length-scales by ≲0.02 — they end
+    EXACTLY at init, so the model's physical smoothing scale was silently
+    init-determined. A multiplier of ~100 gives them a usable step size
+    without touching the rest of the net."""
     opt = _adamw_core(weight_decay)
 
     def step(state: TrainState, task: TaskBatch, lr,
@@ -122,6 +131,12 @@ def make_train_step(
             grads, params, opt_state = args
             updates, new_opt = opt.update(grads, opt_state, params)
             updates = jax.tree.map(lambda u: u * lr, updates)
+            if lengthscale_lr_mult != 1.0:
+                ls_mask = freeze_mask(params, (r"/ls_",))
+                updates = jax.tree.map(
+                    lambda u, m: jnp.where(m, u * lengthscale_lr_mult, u),
+                    updates, ls_mask,
+                )
             if frozen_patterns:
                 mask = freeze_mask(params, frozen_patterns)
                 updates = jax.tree.map(
@@ -272,11 +287,14 @@ class Trainer:
         weight_decay: float = 0.0,
         frozen_patterns: Sequence[str] = (),
         seed: int = 0,
+        lengthscale_lr_mult: float = 1.0,
     ):
         self.model = model
         self.lr0 = lr
         self.weight_decay = weight_decay
-        self.train_step = make_train_step(model, weight_decay, frozen_patterns)
+        self.train_step = make_train_step(
+            model, weight_decay, frozen_patterns,
+            lengthscale_lr_mult=lengthscale_lr_mult)
         self.eval_step = make_eval_step(model)
         self.rng = jax.random.key(seed)
 

@@ -27,7 +27,8 @@ import numpy as np
 
 
 def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
-         anchor_decay=None, internal_density=500, seed=0, **convnp_extra):
+         anchor_decay=None, internal_density=500, seed=0,
+         lengthscale_lr_mult=1.0, **convnp_extra):
     os.makedirs(out_dir, exist_ok=True)
     import jax
 
@@ -80,6 +81,7 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
     result = training.train_model(
         n_epochs=n_epochs, batch_size=8, lr=5e-5, model_dir=model_dir,
         verbose=True, anchor_schedule=schedule,
+        lengthscale_lr_mult=lengthscale_lr_mult,
     )
     train_s = time.time() - t0
     dplot.make_loss_plot(result["train_losses"], result["val_losses"],

@@ -164,6 +164,34 @@ def test_freeze_mask_and_frozen_training(setting):
     assert not np.array_equal(np.asarray(h_before), np.asarray(h_after))
 
 
+def test_lengthscale_lr_mult_scales_only_ls_updates(setting):
+    """``lengthscale_lr_mult`` multiplies the post-Adam UPDATE on the
+    SetConv length-scale params exactly, and leaves every other param's
+    first-step update bit-identical. Motivation: measured flagship
+    checkpoints end with length-scales EXACTLY at init (Adam's lr×steps
+    budget is too small on their scale), so without this the smoothing
+    scale is silently init-determined."""
+    model, tasks, val = setting
+    state = init_state(model, jax.random.key(0), take(tasks, np.arange(2)))
+    batch = take(tasks, np.arange(2))
+    step1 = make_train_step(model, donate=False)
+    step100 = make_train_step(model, donate=False, lengthscale_lr_mult=100.0)
+    s1, _ = step1(state, batch, 1e-4)
+    s100, _ = step100(state, batch, 1e-4)
+    p0, p1, p100 = (state.params["params"], s1.params["params"],
+                    s100.params["params"])
+    for k in p0:
+        if k.startswith("ls_"):
+            d1 = np.asarray(p1[k]) - np.asarray(p0[k])
+            d100 = np.asarray(p100[k]) - np.asarray(p0[k])
+            assert abs(d1) > 0
+            np.testing.assert_allclose(d100, 100.0 * d1, rtol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(p1["head_out"]["kernel"]),
+        np.asarray(p100["head_out"]["kernel"]),
+    )
+
+
 def test_take_and_concat_roundtrip(setting):
     model, tasks, val = setting
     a = take(tasks, np.arange(3))
