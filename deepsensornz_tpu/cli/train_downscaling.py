@@ -123,6 +123,9 @@ def main(argv=None):
         pretrained_dir=args.get("pretrained_model"),
         # fast level-0 k3 U-Net variant (docs/perf_unet.md); None = parity
         top_kernel=args.get("top_kernel"),
+        # physical smoothing-scale override — the round-3 density-mechanism
+        # study's quality lever; None = 2/internal_density + floor
+        init_lengthscale=args.get("init_lengthscale"),
     )
     result = training.train_model(
         n_epochs=args.get("n_epochs") or cfg.TRAIN_DEFAULTS["n_epochs"],
@@ -130,6 +133,7 @@ def main(argv=None):
         lr=args.get("lr") or cfg.TRAIN_DEFAULTS["lr"],
         weight_decay=args.get("weight_decay") or cfg.TRAIN_DEFAULTS["weight_decay"],
         model_dir=model_dir,
+        lengthscale_lr_mult=args.get("lengthscale_lr_mult") or 1.0,
     )
     print(f"best val loss: {result['best_val']:.4f}; artifacts in {model_dir}")
     return model_dir

@@ -78,6 +78,13 @@ ARG_SCHEMA = {
     "n_epochs": int_or_none,
     "unet_channels": lambda v: tuple(int(x) for x in v) if v else None,
     "top_kernel": int_or_none,
+    # physical SetConv smoothing scale at init (normalised coords); None =
+    # 2/internal_density + floor. Round-3 finding: this, not the grid
+    # density, is the holdout-quality lever (flagship_density_frontier.json)
+    "init_lengthscale": float_or_none,
+    # post-Adam update multiplier on the ls_* params; 1 = reference parity
+    # (length-scales then stay at init in practice, measured)
+    "lengthscale_lr_mult": float_or_none,
     "likelihood": str_or_none,
     "internal_density": int_or_none,
     "auto_set_internal_density": str2bool,

@@ -38,6 +38,11 @@ def test_validate_args_coerces():
     assert out["station_as_context"] == 0.3
     assert out["unet_channels"] == (8, 8)
     assert out["include_landmask"] is True
+    out2 = validate_and_convert_args({
+        "init_lengthscale": "0.00714", "lengthscale_lr_mult": "100",
+    })
+    assert out2["init_lengthscale"] == pytest.approx(0.00714)
+    assert out2["lengthscale_lr_mult"] == 100.0
 
 
 def test_train_cli_synthetic(tmp_path, monkeypatch):
