@@ -185,7 +185,13 @@ def test_lengthscale_lr_mult_scales_only_ls_updates(setting):
             d1 = np.asarray(p1[k]) - np.asarray(p0[k])
             d100 = np.asarray(p100[k]) - np.asarray(p0[k])
             assert abs(d1) > 0
-            np.testing.assert_allclose(d100, 100.0 * d1, rtol=1e-4)
+            # Both deltas are recovered as f32 (p + u) - p, so each carries
+            # up to one ulp(p) of rounding; after the ×100 the d1-side ulp
+            # dominates (~1e-3 relative when |p|≈3, u≈1e-4).
+            ulp = np.finfo(np.float32).eps * np.maximum(
+                1.0, np.abs(np.asarray(p0[k]))).max()
+            np.testing.assert_allclose(
+                d100, 100.0 * d1, rtol=1e-4, atol=202.0 * ulp)
     np.testing.assert_array_equal(
         np.asarray(p1["head_out"]["kernel"]),
         np.asarray(p100["head_out"]["kernel"]),
