@@ -198,6 +198,40 @@ def test_lengthscale_lr_mult_scales_only_ls_updates(setting):
     )
 
 
+def test_lengthscale_lr_mult_learns_over_fit(setting):
+    """End-to-end over a full ``Trainer.fit``: at the parity default
+    (mult=1) the effective SetConv length-scales stay at init — the
+    init-determined regime measured in every flagship checkpoint — while
+    mult=100 moves them materially. The single-step scaling test above
+    covers the update math; this covers the practical claim that the knob
+    turns the smoothing scale into a LEARNED quantity."""
+    model, tasks, val = setting
+    dens = model.cfg.internal_density
+    init_eff = 2.0 / dens + 0.5 / dens  # default_lengthscale + floor
+
+    def effective_ls(params):
+        inner = params.get("params", params)
+        return {
+            k: float(jax.nn.softplus(jnp.asarray(v)) + 0.5 / dens)
+            for k, v in inner.items() if k.startswith("ls_")
+        }
+
+    moves = {}
+    for mult in (1.0, 100.0):
+        tr = Trainer(model, lr=1e-3, lengthscale_lr_mult=mult)
+        out = tr.fit(tasks, val, n_epochs=6, batch_size=4, verbose=False)
+        ls = effective_ls(out["params"])
+        assert len(ls) == 3  # ls_grid_0, ls_points_0, ls_decoder
+        moves[mult] = max(abs(v - init_eff) / init_eff for v in ls.values())
+    # parity: init-determined — measured 0.76% max drift over this fit
+    # (and the fixture lr is 20× the flagship's, so the flagship drifts
+    # far less: every hardware checkpoint sits at init to 4 decimals)
+    assert moves[1.0] < 2e-2
+    # mult=100: genuinely learned — measured 44% movement on ls_decoder
+    assert moves[100.0] > 1e-1
+    assert moves[100.0] > 10 * moves[1.0]
+
+
 def test_take_and_concat_roundtrip(setting):
     model, tasks, val = setting
     a = take(tasks, np.arange(3))
