@@ -85,9 +85,35 @@ def build_cycle_inputs(n_tasks=24, internal_density=500):
     return model, params, task, (xt1, xt2, aux_t)
 
 
+def _arm_watchdog(seconds=1500.0):
+    """Exit (code 3) if the bench hasn't finished within ``seconds``.
+
+    The TPU is reached through an HTTP relay; when the relay is down a
+    device call blocks indefinitely (observed 2026-08-17: multi-hour
+    outage), which would hang the driver. A healthy run takes ~5 min
+    including first compile, so 25 min means the hardware is unreachable."""
+    import os
+    import sys
+    import threading
+
+    def bail():
+        print(
+            "bench.py watchdog: no result after "
+            f"{seconds:.0f}s — TPU relay unreachable; aborting",
+            file=sys.stderr, flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, bail)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
 
+    watchdog = _arm_watchdog()
     model, params, task, target_grid = build_cycle_inputs()
     lik = model.cfg.make_likelihood()
 
@@ -116,6 +142,7 @@ def main():
         reps.append(time.perf_counter() - t0)
     p50 = float(np.median(reps))
 
+    watchdog.cancel()
     target = 1.0  # seconds per forecast cycle (BASELINE.md north star)
     print(json.dumps({
         "metric": "nz_0.05deg_cycle_inference_p50",
