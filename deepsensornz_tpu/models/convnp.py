@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional
+from typing import Optional, Union
 
 import flax.linen as nn
 import jax
@@ -101,7 +101,25 @@ class ConvNPConfig:
     # decoupling it from the grid density is the lever that isolates the
     # density-350 quality mechanism (docs/results/flagship_density_frontier
     # .json). Must exceed 0.5/internal_density (the resolution floor).
-    init_lengthscale: Optional[float] = None
+    # PER-SCALE form: a tuple of (param_name, value) pairs, e.g.
+    # (("ls_decoder", 0.02), ("ls_grid_1", 0.07)) — names not listed fall
+    # back to the uniform default. Motivation: self-tuning runs learn a
+    # per-scale configuration (decoder ~2.6× sharper than init, aux grid
+    # ~30% wider; docs/results/selftune_cpu_scale.json) that no uniform
+    # value can express. A tuple, not a dict: the config must stay hashable
+    # as a flax module attribute.
+    init_lengthscale: Optional[Union[float, tuple]] = None
+
+    def __post_init__(self):
+        # normalise the per-scale form (dict from YAML/JSON, or any pair
+        # iterable) to a sorted tuple so the config stays hashable
+        il = self.init_lengthscale
+        if il is not None and not isinstance(il, (int, float)):
+            pairs = il.items() if hasattr(il, "items") else il
+            object.__setattr__(
+                self, "init_lengthscale",
+                tuple(sorted((str(k), float(v)) for k, v in pairs)),
+            )
 
     def anchor_weight(self) -> float:
         if self.mean_anchor is not None:
@@ -127,12 +145,16 @@ class ConvNP(nn.Module):
         # be resolved by the grid anyway, and softplus→0 would make the RBF
         # exponent 0·inf = NaN wherever a point lands exactly on a grid node
         min_ls = 0.5 / float(self.cfg.internal_density)
-        if self.cfg.init_lengthscale is not None:
-            target = float(self.cfg.init_lengthscale)
+        il = self.cfg.init_lengthscale
+        if il is not None and not isinstance(il, (int, float)):
+            # per-scale (name, value) pairs; unlisted names use the default
+            il = dict(il).get(name)
+        if il is not None:
+            target = float(il)
             if target <= min_ls:
                 raise ValueError(
-                    f"init_lengthscale {target} must exceed the grid "
-                    f"resolution floor 0.5/internal_density = {min_ls}"
+                    f"init_lengthscale {target} for {name} must exceed the "
+                    f"grid resolution floor 0.5/internal_density = {min_ls}"
                 )
             init = _inv_softplus(target - min_ls)
         else:

@@ -80,8 +80,12 @@ ARG_SCHEMA = {
     "top_kernel": int_or_none,
     # physical SetConv smoothing scale at init (normalised coords); None =
     # 2/internal_density + floor. Round-3 finding: this, not the grid
-    # density, is the holdout-quality lever (flagship_density_frontier.json)
-    "init_lengthscale": float_or_none,
+    # density, is the holdout-quality lever (flagship_density_frontier.json).
+    # Also accepts a per-scale mapping {ls_decoder: 0.02, ...} — the learned
+    # optimum is per-scale (selftune_cpu_scale.json)
+    "init_lengthscale": lambda v: (
+        {str(k): float(x) for k, x in v.items()} if hasattr(v, "items")
+        else float_or_none(v)),
     # post-Adam update multiplier on the ls_* params; 1 = reference parity
     # (length-scales then stay at init in practice, measured)
     "lengthscale_lr_mult": float_or_none,

@@ -181,6 +181,25 @@ def test_init_lengthscale_override(setup):
         ConvNP(dataclasses.replace(cfg, init_lengthscale=floor / 2)).init(
             jax.random.key(0), task
         )
+    # PER-SCALE form: a dict (normalised to a hashable tuple) pins the
+    # named scales, unlisted ones keep the uniform default — the learned
+    # optimum is per-scale (selftune_cpu_scale.json: decoder 2.6× sharper,
+    # aux grid wider), which a uniform value cannot express
+    per = {"ls_decoder": 0.0402, "ls_grid_0": 0.0733}
+    cfg3 = dataclasses.replace(cfg, init_lengthscale=per)
+    assert isinstance(cfg3.init_lengthscale, tuple)
+    hash(cfg3)  # must stay usable as a flax module attribute
+    params3 = ConvNP(cfg3).init(jax.random.key(0), task)
+    for k, v in params3["params"].items():
+        if k.startswith("ls_"):
+            eff = float(jax.nn.softplus(v) + floor)
+            want = per.get(k, 2.0 / cfg.internal_density + floor)
+            assert abs(eff - want) < 1e-6, (k, eff, want)
+    # a named scale below the floor refuses with the scale's name
+    with pytest.raises(ValueError, match="ls_decoder"):
+        ConvNP(dataclasses.replace(
+            cfg, init_lengthscale={"ls_decoder": floor / 2})
+        ).init(jax.random.key(0), task)
 
 
 def test_gnp_mean_anchor_default_on():
