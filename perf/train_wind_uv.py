@@ -27,7 +27,7 @@ import numpy as np
 
 
 def main(out_dir="/tmp/wind_uv", n_epochs=30, likelihood="cnp",
-         density=500, width=64, n_times=40):
+         density=500, width=64, n_times=40, lengthscale_lr_mult=1.0):
     os.makedirs(out_dir, exist_ok=True)
     import jax
 
@@ -115,7 +115,7 @@ def main(out_dir="/tmp/wind_uv", n_epochs=30, likelihood="cnp",
     val_tasks = tl(list(times[-8:]), datewise_deterministic=True)
 
     t0 = time.time()
-    trainer = Trainer(model, lr=5e-5)
+    trainer = Trainer(model, lr=5e-5, lengthscale_lr_mult=lengthscale_lr_mult)
     out = trainer.fit(train_tasks, val_tasks, n_epochs=n_epochs, batch_size=8,
                       verbose=True)
     train_s = time.time() - t0
