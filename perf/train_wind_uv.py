@@ -27,7 +27,8 @@ import numpy as np
 
 
 def main(out_dir="/tmp/wind_uv", n_epochs=30, likelihood="cnp",
-         density=500, width=64, n_times=40, lengthscale_lr_mult=1.0):
+         density=500, width=64, n_times=40, lengthscale_lr_mult=1.0,
+         seed=0):
     os.makedirs(out_dir, exist_ok=True)
     import jax
 
@@ -48,9 +49,13 @@ def main(out_dir="/tmp/wind_uv", n_epochs=30, likelihood="cnp",
 
     # --- synthetic wind: two coupled components over the NZ DEM ------------
     rng = np.random.default_rng(0)
-    dem = synthetic_dem(128, 128, seed=0)
-    u_base = synthetic_base_grid("10m_u_component_of_wind", n_times, 32, 32, seed=1)
-    v_base = synthetic_base_grid("10m_v_component_of_wind", n_times, 32, 32, seed=5)
+    # data seed offsets keep u/v/dem draws distinct within a seed while the
+    # seed knob shifts the whole bundle (robustness runs)
+    dem = synthetic_dem(128, 128, seed=10 * seed)
+    u_base = synthetic_base_grid("10m_u_component_of_wind", n_times, 32, 32,
+                                 seed=10 * seed + 1)
+    v_base = synthetic_base_grid("10m_v_component_of_wind", n_times, 32, 32,
+                                 seed=10 * seed + 5)
 
     # stations: both components sampled from the base + terrain channelling
     # (elevation speeds up u, slows v — learnable from the aux channel)
