@@ -72,7 +72,7 @@ def main(argv=None):
     ns = ap.parse_args(argv)
     with open(ns.arg_path) as f:
         raw_args = yaml.safe_load(f)
-    args = validate_and_convert_args(raw_args)
+    args = cfg.apply_profile(validate_and_convert_args(raw_args))
 
     variable = args["variable"]
     model_name = args.get("model_name") or "model"

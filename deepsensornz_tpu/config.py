@@ -169,6 +169,46 @@ TRAIN_DEFAULTS = {
 }
 
 
+# Measured-best per-variable training settings — the opt-in ``profile:
+# tuned`` resolution for the training CLI. The parity defaults above are
+# unchanged; this table records the round-3 density/length-scale study
+# outcomes (docs/results/flagship_d350_per_variable.json,
+# flagship_density_frontier.json, selftune_cpu_scale.json):
+# temperature/wind/humidity train better-or-equal at internal_density 350
+# at ~2x throughput; precipitation and surface pressure prefer the finer
+# 500 grid; length-scale self-tuning (lengthscale_lr_mult) helps
+# temperature (~100) and precipitation (~100), wants a gentler ~30 for the
+# joint wind model, is neutral for humidity, and HURTS surface pressure
+# (which genuinely prefers the smooth init-determined scale).
+TUNED_PROFILE = {
+    "temperature": {"internal_density": 350, "lengthscale_lr_mult": 100.0},
+    "precipitation": {"internal_density": 500, "lengthscale_lr_mult": 100.0},
+    "surface_pressure": {"internal_density": 500, "lengthscale_lr_mult": 1.0},
+    "10m_u_component_of_wind": {"internal_density": 350,
+                                "lengthscale_lr_mult": 30.0},
+    "10m_v_component_of_wind": {"internal_density": 350,
+                                "lengthscale_lr_mult": 30.0},
+    "humidity": {"internal_density": 350, "lengthscale_lr_mult": 1.0},
+}
+
+
+def apply_profile(args: dict) -> dict:
+    """Resolve ``profile: tuned`` into per-variable measured-best settings.
+
+    Explicit per-run values always win; the profile only fills keys the
+    YAML left unset (or null). ``profile: parity`` / absent is a no-op.
+    """
+    profile = args.get("profile")
+    if profile in (None, "parity"):
+        return args
+    if profile != "tuned":
+        raise ValueError(f"unknown profile {profile!r}; use 'tuned' or 'parity'")
+    for k, v in TUNED_PROFILE[args["variable"]].items():
+        if args.get(k) is None:
+            args[k] = v
+    return args
+
+
 def likelihood_for(variable: str) -> str:
     """Default likelihood for a canonical variable name."""
     return LIKELIHOODS[variable]

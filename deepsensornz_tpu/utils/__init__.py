@@ -90,6 +90,9 @@ ARG_SCHEMA = {
     # (length-scales then stay at init in practice, measured)
     "lengthscale_lr_mult": float_or_none,
     "likelihood": str_or_none,
+    # 'tuned' resolves per-variable measured-best density/length-scale
+    # settings (config.TUNED_PROFILE); 'parity'/null = reference defaults
+    "profile": str_or_none,
     "internal_density": int_or_none,
     "auto_set_internal_density": str2bool,
     "pretrained_model": str_or_none,

@@ -45,6 +45,30 @@ def test_validate_args_coerces():
     assert out2["lengthscale_lr_mult"] == 100.0
 
 
+def test_tuned_profile_resolution():
+    from deepsensornz_tpu import config as cfg
+
+    # fills unset keys per variable
+    out = cfg.apply_profile(validate_and_convert_args(
+        {"variable": "temperature", "profile": "tuned"}))
+    assert out["internal_density"] == 350
+    assert out["lengthscale_lr_mult"] == 100.0
+    # explicit per-run values always win
+    out = cfg.apply_profile(validate_and_convert_args(
+        {"variable": "temperature", "profile": "tuned",
+         "internal_density": 500}))
+    assert out["internal_density"] == 500
+    # parity/absent is a no-op; unknown profile is loud
+    out = cfg.apply_profile({"variable": "surface_pressure"})
+    assert "internal_density" not in out
+    with pytest.raises(ValueError):
+        cfg.apply_profile({"variable": "temperature", "profile": "bogus"})
+    # every core variable has a complete profile row
+    for var, row in cfg.TUNED_PROFILE.items():
+        assert set(row) == {"internal_density", "lengthscale_lr_mult"}
+        assert var in cfg.LIKELIHOODS
+
+
 def test_train_cli_synthetic(tmp_path, monkeypatch):
     """Full training CLI run in synthetic mode produces loadable artifacts."""
     from deepsensornz_tpu.cli.train_downscaling import main
