@@ -18,6 +18,8 @@ regenerates it the same way the reference produced its table
 
 from __future__ import annotations
 
+import warnings
+
 import json
 import os
 from typing import Optional
@@ -172,23 +174,29 @@ TRAIN_DEFAULTS = {
 # Measured-best per-variable training settings — the opt-in ``profile:
 # tuned`` resolution for the training CLI. The parity defaults above are
 # unchanged; this table records the round-3 density/length-scale study
-# outcomes (docs/results/flagship_d350_per_variable.json,
+# outcomes at FLAGSHIP scale (docs/results/flagship_d350_per_variable.json,
 # flagship_density_frontier.json, selftune_cpu_scale.json):
 # temperature/wind/humidity train better-or-equal at internal_density 350
-# at ~2x throughput; precipitation and surface pressure prefer the finer
-# 500 grid; length-scale self-tuning (lengthscale_lr_mult) helps
-# temperature (~100) and precipitation (~100), wants a gentler ~30 for the
-# joint wind model, is neutral for humidity, and HURTS surface pressure
-# (which genuinely prefers the smooth init-determined scale).
+# at ~2x throughput. Precipitation and surface pressure nominally prefer
+# the finer 500 grid, but the capstone transplants showed that preference
+# is mostly a SMOOTHING preference — d350 + init_lengthscale=0.005
+# recovers nearly all of it (precip 0.112 vs 0.109; pressure 576 vs
+# 558 Pa) at ~2x throughput, which is what the profile ships. Length-scale
+# self-tuning (lengthscale_lr_mult) at flagship scale pays only for wind
+# (~30, the joint model's gentler operating point: 0.596/0.620 vs
+# 0.622/0.632); for temperature and precip the CPU-scale gains do NOT
+# transfer (neutral-to-harmful — self-tuning refines around a good init
+# but cannot rescue a bad one at the flagship lr×steps budget), and
+# surface pressure genuinely prefers its smooth init-determined scale.
 TUNED_PROFILE = {
-    "temperature": {"internal_density": 350, "lengthscale_lr_mult": 100.0},
-    "precipitation": {"internal_density": 500, "lengthscale_lr_mult": 100.0},
-    "surface_pressure": {"internal_density": 500, "lengthscale_lr_mult": 1.0},
+    "temperature": {"internal_density": 350},
+    "precipitation": {"internal_density": 350, "init_lengthscale": 0.005},
+    "surface_pressure": {"internal_density": 350, "init_lengthscale": 0.005},
     "10m_u_component_of_wind": {"internal_density": 350,
                                 "lengthscale_lr_mult": 30.0},
     "10m_v_component_of_wind": {"internal_density": 350,
                                 "lengthscale_lr_mult": 30.0},
-    "humidity": {"internal_density": 350, "lengthscale_lr_mult": 1.0},
+    "humidity": {"internal_density": 350},
 }
 
 
@@ -206,6 +214,18 @@ def apply_profile(args: dict) -> dict:
     for k, v in TUNED_PROFILE[args["variable"]].items():
         if args.get(k) is None:
             args[k] = v
+    # The profile's init_lengthscale values assume the profile's density;
+    # if the run overrides internal_density, a profile-filled length-scale
+    # can fall below the SetConv half-grid-spacing floor (0.5/density) and
+    # ConvNP would refuse it. Drop it rather than ship an invalid combo.
+    ls, dens = args.get("init_lengthscale"), args.get("internal_density")
+    profile_ls = TUNED_PROFILE[args["variable"]].get("init_lengthscale")
+    if (isinstance(ls, float) and ls == profile_ls and dens
+            and ls <= 0.5 / dens):
+        warnings.warn(
+            f"profile 'tuned' init_lengthscale {ls} is at/below the grid "
+            f"floor 0.5/{dens}; dropping it for this run", stacklevel=2)
+        args["init_lengthscale"] = None
     return args
 
 

@@ -52,7 +52,13 @@ def test_tuned_profile_resolution():
     out = cfg.apply_profile(validate_and_convert_args(
         {"variable": "temperature", "profile": "tuned"}))
     assert out["internal_density"] == 350
-    assert out["lengthscale_lr_mult"] == 100.0
+    # flagship capstone: temperature self-tuning is neutral-to-harmful at
+    # the flagship budget, so the tuned profile no longer sets a mult
+    assert out.get("lengthscale_lr_mult") is None
+    out = cfg.apply_profile(validate_and_convert_args(
+        {"variable": "precipitation", "profile": "tuned"}))
+    assert out["internal_density"] == 350
+    assert out["init_lengthscale"] == pytest.approx(0.005)
     # explicit per-run values always win
     out = cfg.apply_profile(validate_and_convert_args(
         {"variable": "temperature", "profile": "tuned",
@@ -63,9 +69,23 @@ def test_tuned_profile_resolution():
     assert "internal_density" not in out
     with pytest.raises(ValueError):
         cfg.apply_profile({"variable": "temperature", "profile": "bogus"})
-    # every core variable has a complete profile row
+    # a profile-filled init_lengthscale that falls below the SetConv floor
+    # of an EXPLICIT density override is dropped, not shipped invalid
+    with pytest.warns(UserWarning, match="grid floor"):
+        out = cfg.apply_profile(validate_and_convert_args(
+            {"variable": "precipitation", "profile": "tuned",
+             "internal_density": 24}))
+    assert out["internal_density"] == 24
+    assert out["init_lengthscale"] is None
+    # ...but an explicit user init_lengthscale is never touched
+    out = cfg.apply_profile(validate_and_convert_args(
+        {"variable": "precipitation", "profile": "tuned",
+         "internal_density": 24, "init_lengthscale": 0.03}))
+    assert out["init_lengthscale"] == pytest.approx(0.03)
+    # every core variable has a profile row of known training keys
+    allowed = {"internal_density", "lengthscale_lr_mult", "init_lengthscale"}
     for var, row in cfg.TUNED_PROFILE.items():
-        assert set(row) == {"internal_density", "lengthscale_lr_mult"}
+        assert row and set(row) <= allowed
         assert var in cfg.LIKELIHOODS
 
 
