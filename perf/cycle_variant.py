@@ -25,11 +25,18 @@ def main(**overrides):
 
     import bench
 
-    model, params, task, target_grid = bench.build_cycle_inputs()
-    if overrides:
+    # internal_density must flow into the TASK (the model computes on
+    # task.x1g/x2g — the internal grid is task data, not config), so pop it
+    # out and rebuild the inputs at that density; the cfg override then
+    # keeps the length-scale floor/init consistent with the grid.
+    density = overrides.pop("internal_density", 500)
+    model, params, task, target_grid = bench.build_cycle_inputs(
+        internal_density=density)
+    if overrides or density != 500:
         from deepsensornz_tpu.models.convnp import ConvNP
 
-        cfg = dataclasses.replace(model.cfg, **overrides)
+        cfg = dataclasses.replace(model.cfg, internal_density=density,
+                                  **overrides)
         model = ConvNP(cfg)
         params = model.init(jax.random.key(0), task)
     lik = model.cfg.make_likelihood()
@@ -50,6 +57,7 @@ def main(**overrides):
     print(json.dumps({
         "metric": "cycle_variant_p50",
         "overrides": {k: str(v) for k, v in overrides.items()},
+        "internal_density": density,
         "value": round(p50, 4),
         "unit": "s",
     }), flush=True)
