@@ -133,7 +133,10 @@ def main(argv=None):
         lr=args.get("lr") or cfg.TRAIN_DEFAULTS["lr"],
         weight_decay=args.get("weight_decay") or cfg.TRAIN_DEFAULTS["weight_decay"],
         model_dir=model_dir,
-        lengthscale_lr_mult=args.get("lengthscale_lr_mult") or 1.0,
+        # explicit None check: 0.0 is meaningful (freezes the
+        # length-scales), so `or 1.0` would silently turn it into parity
+        lengthscale_lr_mult=(1.0 if args.get("lengthscale_lr_mult") is None
+                             else args["lengthscale_lr_mult"]),
     )
     print(f"best val loss: {result['best_val']:.4f}; artifacts in {model_dir}")
     return model_dir

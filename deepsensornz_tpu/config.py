@@ -211,21 +211,38 @@ def apply_profile(args: dict) -> dict:
         return args
     if profile != "tuned":
         raise ValueError(f"unknown profile {profile!r}; use 'tuned' or 'parity'")
+    filled = set()
     for k, v in TUNED_PROFILE[args["variable"]].items():
         if args.get(k) is None:
             args[k] = v
-    # The profile's init_lengthscale values assume the profile's density;
-    # if the run overrides internal_density, a profile-filled length-scale
-    # can fall below the SetConv half-grid-spacing floor (0.5/density) and
-    # ConvNP would refuse it. Drop it rather than ship an invalid combo.
+            filled.add(k)
+    # The profile's init_lengthscale values assume the profile's density.
+    # If the combination ends up invalid (a length-scale at/below the
+    # SetConv half-grid-spacing floor 0.5/density, which ConvNP refuses),
+    # back off whichever side the PROFILE filled — never an explicit
+    # per-run value (those always win). If BOTH are explicit, leave the
+    # combo alone so the model raises its own loud error.
     ls, dens = args.get("init_lengthscale"), args.get("internal_density")
-    profile_ls = TUNED_PROFILE[args["variable"]].get("init_lengthscale")
-    if (isinstance(ls, float) and ls == profile_ls and dens
-            and ls <= 0.5 / dens):
-        warnings.warn(
-            f"profile 'tuned' init_lengthscale {ls} is at/below the grid "
-            f"floor 0.5/{dens}; dropping it for this run", stacklevel=2)
-        args["init_lengthscale"] = None
+    if ls is not None and dens:
+        if isinstance(ls, (int, float)):
+            vals = [float(ls)]
+        else:
+            pairs = ls.items() if hasattr(ls, "items") else ls
+            vals = [float(v) for _, v in pairs]
+        if min(vals) <= 0.5 / float(dens):
+            if "init_lengthscale" in filled:
+                warnings.warn(
+                    f"profile 'tuned' init_lengthscale {ls} is at/below "
+                    f"the grid floor 0.5/{dens}; dropping it for this run",
+                    stacklevel=2)
+                args["init_lengthscale"] = None
+            elif "internal_density" in filled:
+                warnings.warn(
+                    f"explicit init_lengthscale {ls} is at/below the grid "
+                    f"floor at the profile's internal_density {dens}; "
+                    f"dropping the profile's density for this run",
+                    stacklevel=2)
+                args["internal_density"] = None
     return args
 
 

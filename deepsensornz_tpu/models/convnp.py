@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import re
 from typing import Optional, Union
 
 import flax.linen as nn
@@ -116,10 +117,22 @@ class ConvNPConfig:
         il = self.init_lengthscale
         if il is not None and not isinstance(il, (int, float)):
             pairs = il.items() if hasattr(il, "items") else il
-            object.__setattr__(
-                self, "init_lengthscale",
-                tuple(sorted((str(k), float(v)) for k, v in pairs)),
-            )
+            norm = tuple(sorted((str(k), float(v)) for k, v in pairs))
+            # Unknown scale names would be silently ignored by
+            # _lengthscale's dict lookup (a typo'd override trains a
+            # different model with no error), so validate against the
+            # names the model actually creates: ls_decoder, ls_grid_<i>,
+            # ls_points_<i>. (An index beyond the task's context-set
+            # count still goes unused — names depend on the task, not the
+            # config — but this catches the realistic typo class.)
+            bad = [k for k, _ in norm
+                   if not re.fullmatch(r"ls_(decoder|(grid|points)_\d+)", k)]
+            if bad:
+                raise ValueError(
+                    f"unknown init_lengthscale scale name(s) {bad}; valid "
+                    "names are 'ls_decoder', 'ls_grid_<i>', 'ls_points_<i>'"
+                )
+            object.__setattr__(self, "init_lengthscale", norm)
 
     def anchor_weight(self) -> float:
         if self.mean_anchor is not None:

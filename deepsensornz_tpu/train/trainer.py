@@ -132,10 +132,21 @@ def make_train_step(
             updates, new_opt = opt.update(grads, opt_state, params)
             updates = jax.tree.map(lambda u: u * lr, updates)
             if lengthscale_lr_mult != 1.0:
+                # opt.update's output on a param p is -(adam_u + wd*p)
+                # (decoupled decay is inside the chain); the multiplier
+                # must amplify only the ADAM step, not the decay pull —
+                # a 30-100x decay on just the ls params would drag them
+                # toward softplus(0)+floor regardless of the data. Adding
+                # (mult-1)*wd*p*lr back restores the un-amplified decay:
+                # mult*(-(a+wd*p)*lr) + (mult-1)*wd*p*lr = -(mult*a+wd*p)*lr.
                 ls_mask = freeze_mask(params, (r"/ls_",))
                 updates = jax.tree.map(
-                    lambda u, m: jnp.where(m, u * lengthscale_lr_mult, u),
-                    updates, ls_mask,
+                    lambda u, m, p: jnp.where(
+                        m,
+                        u * lengthscale_lr_mult
+                        + (lengthscale_lr_mult - 1.0) * weight_decay * p * lr,
+                        u),
+                    updates, ls_mask, params,
                 )
             if frozen_patterns:
                 mask = freeze_mask(params, frozen_patterns)

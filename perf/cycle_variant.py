@@ -32,7 +32,7 @@ def main(**overrides):
     density = overrides.pop("internal_density", 500)
     model, params, task, target_grid = bench.build_cycle_inputs(
         internal_density=density)
-    if overrides or density != 500:
+    if overrides:
         from deepsensornz_tpu.models.convnp import ConvNP
 
         cfg = dataclasses.replace(model.cfg, internal_density=density,

@@ -33,7 +33,8 @@ def main(model_dir="/tmp/flagship_pressure/model"):
     s_elev = st["elevation"].to_numpy()
     s_id = st["station_id"].to_numpy().astype(str)
 
-    # task.xt is (B, 2, M) in NORMALISED coords — unmap back to lat/lon
+    # task.xt is (B, M, 2) in NORMALISED coords (calculate_loss stores
+    # np.asarray(task.xt) directly) — unmap back to lat/lon
     dp = v.run["data_processor"]
     xt = np.asarray(xt)  # (B, M, 2)
     lat = dp.unmap_x1(xt[..., 0])

@@ -48,9 +48,11 @@ def main(out_dir="/tmp/wind_uv", n_epochs=30, likelihood="cnp",
         raise SystemExit(f"pandas required: {e}")
 
     # --- synthetic wind: two coupled components over the NZ DEM ------------
-    rng = np.random.default_rng(0)
     # data seed offsets keep u/v/dem draws distinct within a seed while the
-    # seed knob shifts the whole bundle (robustness runs)
+    # seed knob shifts the whole bundle (robustness runs) — including the
+    # station-pick/jitter/missingness/noise rng below (offset 3, disjoint
+    # from the dem/u/v offsets 0/1/5)
+    rng = np.random.default_rng(10 * seed + 3)
     dem = synthetic_dem(128, 128, seed=10 * seed)
     u_base = synthetic_base_grid("10m_u_component_of_wind", n_times, 32, 32,
                                  seed=10 * seed + 1)

@@ -82,6 +82,23 @@ def test_tuned_profile_resolution():
         {"variable": "precipitation", "profile": "tuned",
          "internal_density": 24, "init_lengthscale": 0.03}))
     assert out["init_lengthscale"] == pytest.approx(0.03)
+    # the mirror case: an EXPLICIT init_lengthscale invalidated by the
+    # PROFILE-filled density drops the profile's density fill instead
+    # (explicit per-run values always win)
+    with pytest.warns(UserWarning, match="dropping the profile's density"):
+        out = cfg.apply_profile(validate_and_convert_args(
+            {"variable": "temperature", "profile": "tuned",
+             "init_lengthscale": 0.0012}))
+    assert out["init_lengthscale"] == pytest.approx(0.0012)
+    assert out.get("internal_density") is None
+    # both explicit and invalid is left alone — even when the ls happens
+    # to equal the profile's value — so the model raises its own loud
+    # error instead of the profile silently rewriting a user setting
+    out = cfg.apply_profile(validate_and_convert_args(
+        {"variable": "precipitation", "profile": "tuned",
+         "init_lengthscale": 0.005, "internal_density": 100}))
+    assert out["init_lengthscale"] == pytest.approx(0.005)
+    assert out["internal_density"] == 100
     # every core variable has a profile row of known training keys
     allowed = {"internal_density", "lengthscale_lr_mult", "init_lengthscale"}
     for var, row in cfg.TUNED_PROFILE.items():

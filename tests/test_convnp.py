@@ -200,6 +200,10 @@ def test_init_lengthscale_override(setup):
         ConvNP(dataclasses.replace(
             cfg, init_lengthscale={"ls_decoder": floor / 2})
         ).init(jax.random.key(0), task)
+    # an unknown scale name refuses at CONFIG construction (a silently
+    # ignored typo would train a different model than the YAML claims)
+    with pytest.raises(ValueError, match="ls_decocer"):
+        dataclasses.replace(cfg, init_lengthscale={"ls_decocer": 0.02})
 
 
 def test_gnp_mean_anchor_default_on():

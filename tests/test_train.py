@@ -198,6 +198,42 @@ def test_lengthscale_lr_mult_scales_only_ls_updates(setting):
     )
 
 
+def test_lengthscale_lr_mult_does_not_amplify_weight_decay(setting):
+    """The multiplier amplifies only the ADAM step on the ls params — not
+    the decoupled weight-decay pull. With zero gradients the update is pure
+    decay (-wd*lr*p); under mult=100 the ls params must decay at the SAME
+    rate as every other param (amplifying the pull 100× would drag the
+    length-scales toward softplus(0)+floor regardless of the data, a regime
+    the self-tuning study — run at weight_decay=0 — never measured)."""
+    model, tasks, _ = setting
+    batch = take(tasks, np.arange(2))
+    wd, lr = 0.1, 1e-2
+    state = init_state(model, jax.random.key(0), batch, weight_decay=wd)
+
+    class _ZeroLoss:
+        @staticmethod
+        def loss(params, task, anchor_scale=1.0):
+            return jax.tree_util.tree_reduce(
+                lambda a, x: a + 0.0 * jnp.sum(x), params, jnp.float32(0.0))
+
+    step = make_train_step(_ZeroLoss(), donate=False, weight_decay=wd,
+                           lengthscale_lr_mult=100.0)
+    s2, _ = step(state, batch, lr)
+    p0, p2 = state.params["params"], s2.params["params"]
+    checked = 0
+    for k in p0:
+        if k.startswith("ls_"):
+            d = np.asarray(p2[k]) - np.asarray(p0[k])
+            np.testing.assert_allclose(
+                d, -wd * lr * np.asarray(p0[k]), rtol=1e-3, atol=5e-7)
+            checked += 1
+    assert checked > 0
+    # a non-ls param decays at exactly the same rate
+    k0 = np.asarray(p0["head_out"]["kernel"])
+    k2 = np.asarray(p2["head_out"]["kernel"])
+    np.testing.assert_allclose(k2 - k0, -wd * lr * k0, rtol=1e-3, atol=5e-7)
+
+
 def test_lengthscale_lr_mult_learns_over_fit(setting):
     """End-to-end over a full ``Trainer.fit``: at the parity default
     (mult=1) the effective SetConv length-scales stay at init — the
