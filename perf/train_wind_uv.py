@@ -28,7 +28,7 @@ import numpy as np
 
 def main(out_dir="/tmp/wind_uv", n_epochs=30, likelihood="cnp",
          density=500, width=64, n_times=40, lengthscale_lr_mult=1.0,
-         seed=0):
+         init_lengthscale=None, seed=0):
     os.makedirs(out_dir, exist_ok=True)
     import jax
 
@@ -115,6 +115,7 @@ def main(out_dir="/tmp/wind_uv", n_epochs=30, likelihood="cnp",
     cfg = ConvNPConfig(
         unet_channels=(width,) * 4, likelihood=likelihood,
         internal_density=density, dim_yt=2, remat=True,
+        init_lengthscale=init_lengthscale,
     )
     model = ConvNP(cfg)
     times = u_base.coords["time"]
