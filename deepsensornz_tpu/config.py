@@ -200,8 +200,37 @@ TUNED_PROFILE = {
 }
 
 
+# Measured max-throughput operating points — the grid-floor study
+# (flagship_density_frontier.json grid_floor_rows + the per-variable d120
+# runs in flagship_d350_per_variable.json): with each variable's
+# measured-best smoothing scale PINNED, holdout quality is flat over the
+# entire expressible internal-grid range, so density 120 trains at 909.8
+# tasks/s/chip (batch 16; 10.5x the tuned profile's d350) at matched
+# quality. Hardware evidence per variable (120-cap, seed 0): temperature
+# 0.555 (vs d350 0.548), precip 0.109 (EQUALS the all-config best),
+# pressure 427 Pa (BEATS every prior config), humidity 0.033 (slightly
+# softer than 0.025-0.026), wind near-neutral vs a fair d350 control
+# (u 0.608/0.575, v 0.518/0.525). Serving is decode-bound below ~d350, so
+# this profile is about TRAINING cost; quality-first users keep 'tuned'.
+THROUGHPUT_PROFILE = {
+    "temperature": {"internal_density": 120, "init_lengthscale": 0.00714},
+    "precipitation": {"internal_density": 120, "init_lengthscale": 0.005},
+    "surface_pressure": {"internal_density": 120, "init_lengthscale": 0.005},
+    "10m_u_component_of_wind": {"internal_density": 120,
+                                "init_lengthscale": 0.00714,
+                                "lengthscale_lr_mult": 30.0},
+    "10m_v_component_of_wind": {"internal_density": 120,
+                                "init_lengthscale": 0.00714,
+                                "lengthscale_lr_mult": 30.0},
+    "humidity": {"internal_density": 120, "init_lengthscale": 0.00714},
+}
+
+PROFILES = {"tuned": TUNED_PROFILE, "throughput": THROUGHPUT_PROFILE}
+
+
 def apply_profile(args: dict) -> dict:
-    """Resolve ``profile: tuned`` into per-variable measured-best settings.
+    """Resolve ``profile: tuned`` / ``profile: throughput`` into
+    per-variable measured-best settings.
 
     Explicit per-run values always win; the profile only fills keys the
     YAML left unset (or null). ``profile: parity`` / absent is a no-op.
@@ -209,10 +238,12 @@ def apply_profile(args: dict) -> dict:
     profile = args.get("profile")
     if profile in (None, "parity"):
         return args
-    if profile != "tuned":
-        raise ValueError(f"unknown profile {profile!r}; use 'tuned' or 'parity'")
+    if profile not in PROFILES:
+        raise ValueError(
+            f"unknown profile {profile!r}; use "
+            f"{', '.join(map(repr, PROFILES))} or 'parity'")
     filled = set()
-    for k, v in TUNED_PROFILE[args["variable"]].items():
+    for k, v in PROFILES[profile][args["variable"]].items():
         if args.get(k) is None:
             args[k] = v
             filled.add(k)
@@ -232,9 +263,9 @@ def apply_profile(args: dict) -> dict:
         if min(vals) <= 0.5 / float(dens):
             if "init_lengthscale" in filled:
                 warnings.warn(
-                    f"profile 'tuned' init_lengthscale {ls} is at/below "
-                    f"the grid floor 0.5/{dens}; dropping it for this run",
-                    stacklevel=2)
+                    f"profile {profile!r} init_lengthscale {ls} is "
+                    f"at/below the grid floor 0.5/{dens}; dropping it for "
+                    f"this run", stacklevel=2)
                 args["init_lengthscale"] = None
             elif "internal_density" in filled:
                 warnings.warn(

@@ -99,11 +99,26 @@ def test_tuned_profile_resolution():
          "init_lengthscale": 0.005, "internal_density": 100}))
     assert out["init_lengthscale"] == pytest.approx(0.005)
     assert out["internal_density"] == 100
-    # every core variable has a profile row of known training keys
+    # the throughput profile ships the grid-floor operating points: d120
+    # with the per-variable pinned smoothing scale (valid vs the d120
+    # floor 0.5/120), wind keeping its mult=30
+    out = cfg.apply_profile(validate_and_convert_args(
+        {"variable": "temperature", "profile": "throughput"}))
+    assert out["internal_density"] == 120
+    assert out["init_lengthscale"] == pytest.approx(0.00714)
+    out = cfg.apply_profile(validate_and_convert_args(
+        {"variable": "10m_u_component_of_wind", "profile": "throughput"}))
+    assert out["lengthscale_lr_mult"] == 30.0
+    # every core variable has a row of known training keys in BOTH
+    # profiles, and every profile ls clears its own density's floor
     allowed = {"internal_density", "lengthscale_lr_mult", "init_lengthscale"}
-    for var, row in cfg.TUNED_PROFILE.items():
-        assert row and set(row) <= allowed
-        assert var in cfg.LIKELIHOODS
+    for prof in cfg.PROFILES.values():
+        for var, row in prof.items():
+            assert row and set(row) <= allowed
+            assert var in cfg.LIKELIHOODS
+            ls = row.get("init_lengthscale")
+            if ls is not None:
+                assert ls > 0.5 / row["internal_density"]
 
 
 def test_train_cli_synthetic(tmp_path, monkeypatch):
