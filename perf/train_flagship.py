@@ -28,7 +28,7 @@ import numpy as np
 
 def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
          anchor_decay=None, internal_density=500, seed=0,
-         lengthscale_lr_mult=1.0, **convnp_extra):
+         lengthscale_lr_mult=1.0, batch_size=8, **convnp_extra):
     os.makedirs(out_dir, exist_ok=True)
     import jax
 
@@ -79,7 +79,7 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
         schedule = lambda e: 1.0 if e < k else max(1.0 - (e - k + 1) / span, 0.0)  # noqa: E731
     t0 = time.time()
     result = training.train_model(
-        n_epochs=n_epochs, batch_size=8, lr=5e-5, model_dir=model_dir,
+        n_epochs=n_epochs, batch_size=batch_size, lr=5e-5, model_dir=model_dir,
         verbose=True, anchor_schedule=schedule,
         lengthscale_lr_mult=lengthscale_lr_mult,
     )
@@ -104,7 +104,7 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
 
     metrics = {
         "config": training.model_config_dict,
-        "recipe": {"n_epochs": n_epochs, "batch_size": 8, "lr": 5e-5,
+        "recipe": {"n_epochs": n_epochs, "batch_size": batch_size, "lr": 5e-5,
                    "station_as_context": "split",
                    "anchor_decay": anchor_decay,
                    "internal_density": internal_density, "seed": seed},
