@@ -133,8 +133,10 @@ def main(argv=None):
         lr=args.get("lr") or cfg.TRAIN_DEFAULTS["lr"],
         weight_decay=args.get("weight_decay") or cfg.TRAIN_DEFAULTS["weight_decay"],
         model_dir=model_dir,
-        # explicit None check: 0.0 is meaningful (freezes the
-        # length-scales), so `or 1.0` would silently turn it into parity
+        # explicit None check: 0.0 is meaningful (zeroes the ls params'
+        # ADAM step; decoupled weight decay still applies — use
+        # frozen_patterns for a true freeze), so `or 1.0` would silently
+        # turn it into parity
         lengthscale_lr_mult=(1.0 if args.get("lengthscale_lr_mult") is None
                              else args["lengthscale_lr_mult"]),
     )

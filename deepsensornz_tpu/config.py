@@ -205,7 +205,8 @@ TUNED_PROFILE = {
 # runs in flagship_d350_per_variable.json): with each variable's
 # measured-best smoothing scale PINNED, holdout quality is flat over the
 # entire expressible internal-grid range, so density 120 trains at 909.8
-# tasks/s/chip (batch 16; 10.5x the tuned profile's d350) at matched
+# tasks/s/chip (batch 16; 5.6x the tuned profile's d350 at 161.4,
+# 10.5x the d500 parity config at 86.3) at matched
 # quality. Hardware evidence per variable (120-cap, seed 0): temperature
 # 0.555 (vs d350 0.548), precip 0.109 (EQUALS the all-config best),
 # pressure 427 Pa (BEATS every prior config), humidity 0.033 (slightly
@@ -260,7 +261,9 @@ def apply_profile(args: dict) -> dict:
         else:
             pairs = ls.items() if hasattr(ls, "items") else ls
             vals = [float(v) for _, v in pairs]
-        if min(vals) <= 0.5 / float(dens):
+        # an empty per-scale mapping means "all scales default" (ConvNP
+        # accepts it) — nothing to check against the floor
+        if vals and min(vals) <= 0.5 / float(dens):
             if "init_lengthscale" in filled:
                 warnings.warn(
                     f"profile {profile!r} init_lengthscale {ls} is "

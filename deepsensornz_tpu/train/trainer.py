@@ -104,8 +104,10 @@ def make_train_step(
 ) -> Callable:
     """Build the jitted (state, task, lr) → (state, loss) step.
 
-    ``lengthscale_lr_mult`` scales the UPDATE (post-Adam, so gradient
-    magnitude is irrelevant) on the SetConv length-scale params. Measured
+    ``lengthscale_lr_mult`` scales the ADAM STEP (post-Adam, so gradient
+    magnitude is irrelevant) on the SetConv length-scale params; the
+    decoupled weight-decay pull is NOT amplified (and at mult=0 it still
+    applies — use ``frozen_patterns`` for a true freeze). Measured
     motivation (round 3 density-mechanism study): at the flagship recipe,
     Adam's lr×steps budget moves the raw length-scales by ≲0.02 — they end
     EXACTLY at init, so the model's physical smoothing scale was silently

@@ -109,6 +109,11 @@ def test_tuned_profile_resolution():
     out = cfg.apply_profile(validate_and_convert_args(
         {"variable": "10m_u_component_of_wind", "profile": "throughput"}))
     assert out["lengthscale_lr_mult"] == 30.0
+    # an empty per-scale mapping means "all scales default" — the floor
+    # back-off must not choke on it
+    out = cfg.apply_profile({"variable": "temperature", "profile": "tuned",
+                             "init_lengthscale": {}})
+    assert out["internal_density"] == 350
     # every core variable has a row of known training keys in BOTH
     # profiles, and every profile ls clears its own density's floor
     allowed = {"internal_density", "lengthscale_lr_mult", "init_lengthscale"}
