@@ -204,10 +204,12 @@ TUNED_PROFILE = {
 # (flagship_density_frontier.json grid_floor_rows + the per-variable d120
 # runs in flagship_d350_per_variable.json): with each variable's
 # measured-best smoothing scale PINNED, holdout quality is flat over the
-# entire expressible internal-grid range, so density 120 trains at 909.8
-# tasks/s/chip (batch 16; 5.6x the tuned profile's d350 at 161.4,
-# 10.5x the d500 parity config at 86.3) at matched
-# quality. Hardware evidence per variable (120-cap, seed 0): temperature
+# entire expressible internal-grid range, so density 120 trains at
+# 1019.5 tasks/s/chip at matched quality (batch 32, verified across
+# three data seeds; 6.3x the tuned profile's d350 at 161.4, 11.8x the
+# d500 parity config at 86.3 — the 909.8 batch-16 point is capacity with
+# a marginal-quality caveat). Hardware evidence per variable (120-cap,
+# seed 0): temperature
 # 0.555 (vs d350 0.548), precip 0.109 (EQUALS the all-config best),
 # pressure 427 Pa (BEATS every prior config), humidity 0.033 (slightly
 # softer than 0.025-0.026), wind near-neutral vs a fair d350 control
@@ -227,6 +229,17 @@ THROUGHPUT_PROFILE = {
 }
 
 PROFILES = {"tuned": TUNED_PROFILE, "throughput": THROUGHPUT_PROFILE}
+
+
+def lengthscale_values(ls) -> list:
+    """Numeric values of an ``init_lengthscale`` setting in any of its
+    accepted forms — scalar, mapping, or (name, value) pair iterable (the
+    same protocol ``utils.ARG_SCHEMA`` coerces from YAML and
+    ``ConvNPConfig.__post_init__`` normalises; keep the three in sync)."""
+    if isinstance(ls, (int, float)):
+        return [float(ls)]
+    pairs = ls.items() if hasattr(ls, "items") else ls
+    return [float(v) for _, v in pairs]
 
 
 def apply_profile(args: dict) -> dict:
@@ -256,11 +269,7 @@ def apply_profile(args: dict) -> dict:
     # combo alone so the model raises its own loud error.
     ls, dens = args.get("init_lengthscale"), args.get("internal_density")
     if ls is not None and dens:
-        if isinstance(ls, (int, float)):
-            vals = [float(ls)]
-        else:
-            pairs = ls.items() if hasattr(ls, "items") else ls
-            vals = [float(v) for _, v in pairs]
+        vals = lengthscale_values(ls)
         # an empty per-scale mapping means "all scales default" (ConvNP
         # accepts it) — nothing to check against the floor
         if vals and min(vals) <= 0.5 / float(dens):

@@ -16,11 +16,13 @@ reasons that are fundamental rather than implementation details:
    time-varying synoptic interpolation error of the coarse base, whose
    scale (fitted 0.20-0.26 normalised, ~30x the SetConv optimum) is the
    component the U-Net handles, not the SetConv smoothing.
-2. The 3 km scale is spatially UNPROBEABLE by the station network: the
-   closest station pair in the flagship bundle is 0.059 normalised apart
-   (~25 km; the real NZ network's typical spacing is ~50 km), so no
-   estimator operating on station pairs — temporal or spatial — can see
-   structure at 0.007.
+2. The 3 km scale is spatially UNDER-SAMPLED by the station network: in
+   the flagship bundle only ~6 of 4950 station pairs sit within 2x the
+   optimum (min pair distance 0.007-0.011 across seeds; the 1st
+   percentile of pair distances is ~0.046), far too few to fit a
+   correlation scale at 0.007 — and the real NZ network's typical
+   spacing (~50 km) is coarser still. A pair-based estimator has
+   essentially no data at the scale of interest.
 
 Consequence: ``init_lengthscale`` cannot be set from the station data a
 priori at realistic network density. The shipped recipe stands: transplant
@@ -100,17 +102,21 @@ def estimate_init_lengthscale(
     # Accept the NORMALISED frame (x1/x2 columns, the form the processed
     # dict carries — already in the coordinate system the length-scale
     # lives in) or a raw lat/lon frame plus the DataProcessor's maps.
+    # Either way the base field must be NORMALISED (x1/x2 coords): lat/lon
+    # station coords are mapped into that system HERE, before the
+    # cell-index lookups, so both the residual sampling and the pair
+    # distances use one coordinate system.
     if "x1" in station_df.columns:
         st_lat = station_df["x1"].to_numpy(np.float64)
         st_lon = station_df["x2"].to_numpy(np.float64)
-        normalised = True
     else:
-        st_lat = station_df["latitude"].to_numpy(np.float64)
-        st_lon = station_df["longitude"].to_numpy(np.float64)
-        normalised = False
         if data_processor is None:
             raise ValueError("lat/lon station frame needs a data_processor "
                              "to map into normalised coordinates")
+        st_lat = np.asarray(data_processor.map_x1(
+            station_df["latitude"].to_numpy(np.float64)), np.float64)
+        st_lon = np.asarray(data_processor.map_x2(
+            station_df["longitude"].to_numpy(np.float64)), np.float64)
     obs = station_df[col].to_numpy(np.float64)
 
     ti = _nearest_index(t_c.astype(np.int64), st_t.astype(np.int64))
@@ -129,11 +135,7 @@ def estimate_init_lengthscale(
 
     rho, n = _pairwise_residual_correlation(M)
 
-    if normalised:
-        x1, x2 = uniq[:, 0], uniq[:, 1]
-    else:
-        x1 = np.asarray(data_processor.map_x1(uniq[:, 0]), np.float64)
-        x2 = np.asarray(data_processor.map_x2(uniq[:, 1]), np.float64)
+    x1, x2 = uniq[:, 0], uniq[:, 1]
     D = np.sqrt((x1[:, None] - x1[None, :]) ** 2
                 + (x2[:, None] - x2[None, :]) ** 2)
 
@@ -157,17 +159,20 @@ def estimate_init_lengthscale(
     k = int(np.argmin(sse))
     ls, nug = float(scales[k]), float(a[k])
 
-    # distance-binned empirical curve (for plots/tests; fit uses raw pairs)
+    # distance-binned empirical curve (for plots/tests; fit uses raw
+    # pairs). Half-open bins (last inclusive) so a pair landing exactly on
+    # an interior quantile edge is counted once, not in both neighbours.
     qs = np.quantile(d, np.linspace(0, 1, n_bins + 1))
     curve = []
-    for lo_q, hi_q in zip(qs[:-1], qs[1:]):
-        m = (d >= lo_q) & (d <= hi_q)
+    for i, (lo_q, hi_q) in enumerate(zip(qs[:-1], qs[1:])):
+        m = (d >= lo_q) & ((d < hi_q) if i < n_bins - 1 else (d <= hi_q))
         if m.any():
             curve.append((float(np.average(d[m], weights=w[m])),
                           float(np.average(r[m], weights=w[m])),
                           int(w[m].sum())))
     return {"lengthscale": ls, "nugget": nug, "n_stations": S,
-            "n_pairs": int(len(d)), "curve": curve}
+            "n_pairs": int(len(d)), "min_pair_distance": float(d.min()),
+            "curve": curve}
 
 
 def main():
@@ -195,7 +200,7 @@ def main():
                      "nugget": round(out["nugget"], 3),
                      "n_pairs": out["n_pairs"],
                      "min_pair_distance": round(
-                         min(d for d, _, _ in out["curve"]), 4)})
+                         out["min_pair_distance"], 4)})
         print(json.dumps(rows[-1]))
     print(json.dumps({"measured_setconv_optimum": 0.00714, "rows": rows}))
 
