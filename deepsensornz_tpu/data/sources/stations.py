@@ -241,6 +241,14 @@ class StationSource:
         (``stations.py:216-293``). Unreadable files are counted in
         ``self.skipped`` (+ warning) rather than silently eaten."""
         times = np.asarray(times, dtype="datetime64[s]")
+        if daily:
+            # daily-resampled station series carry midnight stamps; floor
+            # the query times to days so an HOURLY query still matches
+            # (the coverage check below otherwise drops every station:
+            # its last daily stamp is midnight, strictly below any
+            # intra-day t_hi)
+            times = np.unique(times.astype("datetime64[D]")
+                              .astype("datetime64[s]"))
         t_lo, t_hi = times.min(), times.max()
         frames = []
         self.skipped = []

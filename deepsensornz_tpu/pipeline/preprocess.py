@@ -187,6 +187,17 @@ class PreprocessForDownscaling:
             & (df["longitude"] >= lon.min()) & (df["longitude"] <= lon.max())
         )
         df = df[keep]
+        if df.empty:
+            # stations are the TARGETS — an empty frame here (no rows
+            # loaded for the variable/times, or all outside the topo
+            # extent) would otherwise cascade into opaque failures deep
+            # in task construction
+            raise ValueError(
+                "station frame is empty after loading/area filtering — "
+                f"no usable station rows for variable {self.variable!r} "
+                "over the requested times (check the archive layout, the "
+                "time range, and any remove_stations/keep_stations "
+                "filters)")
         df = adjust_duplicates(df)
         if fill_missing:
             df = fill_missing_station_values(df)

@@ -130,3 +130,44 @@ def test_validate_cli_end_to_end(fake_world, tmp_path):
     assert key in metrics
     assert metrics[key]["n_holdout_obs"] > 0
     assert np.isfinite(metrics[key]["holdout_rmse"])
+
+
+def test_train_cli_real_archive(fake_world, tmp_path):
+    """The TRAINING CLI's real-data path end-to-end: ``load_real_data``
+    (ERA5 year files → station archive → DEM, resolved through the paths
+    config) → preprocess → train → loadable artifacts. ``synthetic: true``
+    covers everything downstream of loading, and each source is
+    unit-tested, but the archive→training-CLI loop itself was otherwise
+    never driven (the round-2 verdict's closed-loop concern, applied at
+    the CLI level)."""
+    import yaml
+
+    from deepsensornz_tpu.cli.train_downscaling import main as train_main
+    from deepsensornz_tpu.pipeline.validate import Validate
+
+    root, year, st_meta = fake_world
+    args = {
+        "variable": "temperature", "model_name": "cli_real",
+        "train_start_year": year, "train_end_year": year,
+        "n_epochs": 1, "batch_size": 4, "lr": 1e-3,
+        "unet_channels": [8], "likelihood": "cnp",
+        "internal_density": 24,
+        "highres_coarsen_factor": 2, "lowres_coarsen_factor": 4,
+        "remove_stations": [st_meta[0]],
+    }
+    arg_path = tmp_path / "args.yaml"
+    arg_path.write_text(yaml.safe_dump(args))
+    train_main(["-arg_path", str(arg_path)])
+
+    model_dir = os.path.join(str(root / "models"), "temperature", "cli_real")
+    assert os.path.exists(os.path.join(model_dir, "args.yaml"))  # archived
+    v = Validate(model_dir)
+    # the removed station must not appear anywhere in the loader's frames
+    for frame in [v.task_loader.target] + [
+            c for c in v.task_loader.context if hasattr(c, "columns")]:
+        id_col = ("station_name" if "station_name" in frame.columns
+                  else "station_id")
+        assert st_meta[0] not in set(frame[id_col].astype(str))
+    times = sorted(set(v.task_loader.target["time"]))[:2]
+    out = v.calculate_loss(times)
+    assert np.isfinite(out["rmse"])
