@@ -34,6 +34,15 @@ from deepsensornz_tpu.utils import validate_and_convert_args
 
 
 def load_real_data(args):
+    """Load the training inputs from the on-disk archives.
+
+    Returns ``(base_fields, dem, stations, wrf_source)`` — ``wrf_source``
+    is None for the ERA5 base and the :class:`WRFSource` (needed by
+    ``run_processing_sequence`` for regridding) for ``base: wrf``
+    (reference trains from WRF too, ``train_downscaling.py:74-94``:
+    midnight-init cycles over ``start_init``..``end_init``, every
+    ``time_intervals``-th hourly file, hourly stations).
+    """
     from deepsensornz_tpu.data.sources.era5 import ERA5Source
     from deepsensornz_tpu.data.sources.stations import StationSource
     from deepsensornz_tpu.data.sources.topography import topography_from_paths
@@ -41,19 +50,40 @@ def load_real_data(args):
 
     paths = get_data_paths()
     variable = args["variable"]
-    years = list(range(args.get("train_start_year", 2000),
-                       args.get("val_end_year", args.get("train_end_year", 2001)) + 1,
-                       args.get("year_step") or 1))
-    era5 = ERA5Source(paths["era5"]["parent"])
     context_vars = list(dict.fromkeys([variable] + args.get("context_variables", [])))
-    base_fields = {v: era5.load(v, years) for v in context_vars}
+    wrf_source = None
+    if args.get("base") == "wrf":
+        from datetime import datetime
+
+        from deepsensornz_tpu.data.sources.wrf import WRFSource
+
+        wrf_source = WRFSource(paths["wrf"]["parent"])
+        start = datetime.strptime(str(args["start_init"]), "%Y%m%d")
+        end = datetime.strptime(str(args.get("end_init") or args["start_init"]),
+                                "%Y%m%d")
+        fpaths = wrf_source.get_filepaths(start, end)
+        fpaths = fpaths[:: args.get("time_intervals") or 1]
+        if not fpaths:
+            raise FileNotFoundError(
+                f"no WRF files for inits {args['start_init']}.."
+                f"{args.get('end_init')} under {paths['wrf']['parent']}")
+        base_fields = wrf_source.load(fpaths, context_vars)
+    else:
+        years = list(range(args.get("train_start_year", 2000),
+                           args.get("val_end_year", args.get("train_end_year", 2001)) + 1,
+                           args.get("year_step") or 1))
+        era5 = ERA5Source(paths["era5"]["parent"])
+        base_fields = {v: era5.load(v, years) for v in context_vars}
     base = base_fields[variable]
     dem = topography_from_paths(paths).load(area=args.get("area"))
     stations = StationSource(paths["stations"]["parent"]).load_stations_time(
-        variable, base.coords["time"], daily=True,
+        variable, base.coords["time"],
+        # WRF training matches stations at the hourly stamps of the cycle
+        # files; the ERA5 recipe is daily (reference use_daily_data)
+        daily=args.get("base") != "wrf",
         remove_stations=args.get("remove_stations", []),
     )
-    return base_fields, dem, stations
+    return base_fields, dem, stations, wrf_source
 
 
 def load_synthetic_data(args):
@@ -86,11 +116,12 @@ def main(argv=None):
     os.makedirs(model_dir, exist_ok=True)
     shutil.copy(ns.arg_path, os.path.join(model_dir, "args.yaml"))
 
+    wrf_source = None
     if args.get("synthetic"):
         base, dem, stations = load_synthetic_data(args)
         base_fields = {variable: base}
     else:
-        base_fields, dem, stations = load_real_data(args)
+        base_fields, dem, stations, wrf_source = load_real_data(args)
 
     # data-processor reuse-or-create (train_downscaling.py:151-173)
     dp_path = os.path.join(model_dir, "..", "data_processor.json")
@@ -108,6 +139,7 @@ def main(argv=None):
         include_time_of_year=args.get("include_time_of_year", True),
         include_coordinates=args.get("include_coordinates", False),
         data_processor=data_processor,
+        wrf_source=wrf_source,
         test_norm=True,
     )
 

@@ -65,6 +65,11 @@ ARG_SCHEMA = {
     "val_start_year": int_or_none,
     "val_end_year": int_or_none,
     "year_step": int_or_none,
+    # WRF-base training period (reference train_downscaling.py:74-94):
+    # midnight-init cycle range YYYYMMDD, every time_intervals-th file
+    "start_init": str_or_none,
+    "end_init": str_or_none,
+    "time_intervals": int_or_none,
     "era5_coarsen_factor": int_or_none,
     "highres_coarsen_factor": int_or_none,
     "lowres_coarsen_factor": int_or_none,

@@ -171,3 +171,65 @@ def test_train_cli_real_archive(fake_world, tmp_path):
     times = sorted(set(v.task_loader.target["time"]))[:2]
     out = v.calculate_loss(times)
     assert np.isfinite(out["rmse"])
+
+
+def test_train_cli_wrf_base(fake_world, tmp_path):
+    """The training CLI's WRF-base path end-to-end (reference
+    ``train_downscaling.py:74-94``: midnight-init cycle range, hourly
+    stations): WRF archive → Delaunay regrid onto the topo grid →
+    preprocess → train → loadable artifacts."""
+    from datetime import datetime
+
+    import yaml
+
+    from deepsensornz_tpu.cli.train_downscaling import main as train_main
+    from deepsensornz_tpu.data.sources.wrf import WRFSource
+    from deepsensornz_tpu.pipeline.validate import Validate
+
+    root, year, st_meta = fake_world
+    wrf_root = root / "wrf"
+    src = WRFSource(str(wrf_root))
+    init = datetime(year, 1, 5)
+    ny, nx = 12, 14
+    base_lat = (np.linspace(-47, -34, ny)[:, None]
+                + np.linspace(0, 0.5, nx)[None, :])
+    base_lon = (np.linspace(166, 178, nx)[None, :]
+                + np.linspace(0, 0.3, ny)[:, None])
+    rng = np.random.default_rng(5)
+    for valid in src.cycle_hours(init):
+        path = src.filename_for(init, valid)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fields = {
+            "T2": Field(285 + rng.standard_normal((ny, nx)), ("y", "x"), {},
+                        "T2"),
+            "XLAT": Field(base_lat, ("y", "x"), {}, "XLAT"),
+            "XLONG": Field(base_lon, ("y", "x"), {}, "XLONG"),
+        }
+        save_dataset(Dataset(fields), path, float32=False)
+
+    paths_mod.set_data_paths({
+        "era5": {"parent": str(root / "era5")},
+        "stations": {"parent": str(root / "stations")},
+        "topography": {"file": str(root / "topo" / "dem.nc")},
+        "wrf": {"parent": str(wrf_root)},
+        "save_model": {"fpath": str(root / "models")},
+    })
+    args = {
+        "variable": "temperature", "base": "wrf", "model_name": "cli_wrf",
+        "start_init": f"{year}0105", "time_intervals": 2,
+        "n_epochs": 1, "batch_size": 4, "lr": 1e-3,
+        "unet_channels": [8], "likelihood": "cnp",
+        "internal_density": 24,
+        "highres_coarsen_factor": 2, "lowres_coarsen_factor": 4,
+    }
+    arg_path = tmp_path / "wrf_args.yaml"
+    arg_path.write_text(yaml.safe_dump(args))
+    train_main(["-arg_path", str(arg_path)])
+
+    model_dir = os.path.join(str(root / "models"), "temperature", "cli_wrf")
+    v = Validate(model_dir)
+    # time_intervals=2 halves the 24 hourly cycle files
+    times = sorted(set(v.task_loader.target["time"]))
+    assert len(times) == 12
+    out = v.calculate_loss(times[:2])
+    assert np.isfinite(out["rmse"])
