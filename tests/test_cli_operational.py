@@ -233,3 +233,70 @@ def test_train_cli_wrf_base(fake_world, tmp_path):
     assert len(times) == 12
     out = v.calculate_loss(times[:2])
     assert np.isfinite(out["rmse"])
+
+
+def test_train_cli_warmstart_context_auto_density(fake_world, tmp_path):
+    """The remaining advertised training-CLI options driven end-to-end on
+    the real archive: ``context_variables`` (second ERA5 variable as extra
+    context channels), ``era5_coarsen_factor``, ``auto_set_internal_density``
+    and ``pretrained_model`` warm-start with the reference's encoder
+    freezing (``train.py:243-258``: frozen unless surface_pressure)."""
+    import yaml
+
+    from deepsensornz_tpu.cli.train_downscaling import main as train_main
+    from deepsensornz_tpu.pipeline.validate import load_run
+
+    root, year, st_meta = fake_world
+    # second ERA5 variable in the archive (context channel)
+    os.makedirs(root / "era5" / "humidity", exist_ok=True)
+    t = np.datetime64(f"{year}-01-01", "s") + np.arange(31 * 24) * np.timedelta64(1, "h")
+    rng = np.random.default_rng(9)
+    rh = Field(np.clip(60 + 20 * rng.standard_normal((len(t), 14, 15)), 1, 100),
+               ("time", "latitude", "longitude"),
+               {"time": t, "latitude": np.linspace(-34.0, -47.0, 14),
+                "longitude": np.linspace(166.0, 178.0, 15)}, "rh")
+    save_dataset(Dataset([rh]), str(root / "era5" / "humidity" / f"rh_{year}.nc"),
+                 float32=False)
+
+    common = {
+        "variable": "temperature",
+        "train_start_year": year, "train_end_year": year,
+        "n_epochs": 1, "batch_size": 4, "lr": 1e-3,
+        "unet_channels": [8], "likelihood": "cnp",
+        "context_variables": ["humidity"],
+        "era5_coarsen_factor": 2,
+        "auto_set_internal_density": True,
+        "highres_coarsen_factor": 2, "lowres_coarsen_factor": 4,
+    }
+    p1 = tmp_path / "pre.yaml"
+    p1.write_text(yaml.safe_dump({**common, "model_name": "cli_pre"}))
+    train_main(["-arg_path", str(p1)])
+    pre_dir = os.path.join(str(root / "models"), "temperature", "cli_pre")
+    pre_params = load_run(pre_dir)["params"]
+
+    p2 = tmp_path / "warm.yaml"
+    p2.write_text(yaml.safe_dump({**common, "model_name": "cli_warm",
+                                  "pretrained_model": pre_dir, "lr": 1e-2}))
+    train_main(["-arg_path", str(p2)])
+    warm_dir = os.path.join(str(root / "models"), "temperature", "cli_warm")
+    warm_params = load_run(warm_dir)["params"]
+
+    # encoder (U-Net + SetConv length-scales) frozen at the warm-start
+    # values; the head trained away from them
+    import jax
+
+    def flat(p):
+        return {"/".join(str(getattr(k, "key", k)) for k in path): np.asarray(v)
+                for path, v in jax.tree_util.tree_flatten_with_path(p)[0]}
+
+    f_pre, f_warm = flat(pre_params), flat(warm_params)
+    enc = [k for k in f_pre if "unet" in k or "/ls_grid" in k or "/ls_points" in k]
+    head = [k for k in f_pre if "head_out" in k]
+    assert enc and head
+    for k in enc:
+        np.testing.assert_array_equal(f_pre[k], f_warm[k])
+    assert any(not np.array_equal(f_pre[k], f_warm[k]) for k in head)
+    # auto density landed in the saved metadata and reloads
+    with open(os.path.join(warm_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["model_config"]["internal_density"] > 0
