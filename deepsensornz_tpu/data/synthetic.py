@@ -140,13 +140,26 @@ def synthetic_stations(
             if variable == "temperature":
                 y = y - 0.0065 * float(elevs[si]) + rng.normal(0, 0.5)
             elif variable == "precipitation":
-                # orographic enhancement well above observation noise, so
-                # the synthetic task carries learnable sub-grid signal (the
-                # base baseline cannot explain the elevation multiplier);
-                # dry stays exactly dry — gauge noise only on wet obs
+                # Sub-grid signal on BOTH precip components. Amount:
+                # orographic enhancement well above observation noise (the
+                # base baseline cannot explain the elevation multiplier).
+                # Occurrence: valley drying — inside a wet base cell the
+                # chance a station actually records rain rises with
+                # elevation (sheltered low stations stay dry), so the
+                # base-cell wetness copy is wrong exactly where the
+                # elevation aux says so and the Bernoulli head has a
+                # learnable occurrence edge. (The first round-3 generator
+                # kept station wetness == cell wetness, which made the
+                # deterministic copy unbeatable at occurrence BY
+                # CONSTRUCTION — recorded in flagship_precip metrics.)
+                # Dry base cells stay exactly dry.
                 if y > 0.0:
-                    y = max(y * (1 + 0.002 * float(elevs[si]))
-                            + rng.normal(0, 0.05), 0.0)
+                    p_wet = 1.0 / (1.0 + np.exp(-(float(elevs[si]) - 500.0) / 250.0))
+                    if rng.random() < p_wet:
+                        y = max(y * (1 + 0.002 * float(elevs[si]))
+                                + rng.normal(0, 0.05), 0.0)
+                    else:
+                        y = 0.0
             elif variable == "humidity":
                 # elevation-dependent drying + small noise (bounded [0, 1])
                 y = float(np.clip(y * (1 - 0.0004 * float(elevs[si]))

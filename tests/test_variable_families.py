@@ -37,6 +37,40 @@ def run_family(variable, tmp_path, n_epochs=2):
     return model_dir, result, base, dem, stations, out
 
 
+def test_precip_generator_has_subgrid_occurrence_signal():
+    """The synthetic precip world must carry a LEARNABLE occurrence edge:
+    inside wet base cells, station wetness rises with elevation (valley
+    drying), so the base-cell wetness copy is beatable and the Bernoulli
+    head has something to learn. (The first round-3 generator inherited
+    station wetness from the cell exactly, making the deterministic copy
+    unbeatable at occurrence by construction.)"""
+    base, dem, stations = synthetic_bundle(
+        variable="precipitation", n_times=40, base_hw=(32, 32),
+        dem_hw=(128, 128), n_stations=100,
+    )
+    col = cfg.VAR_STATIONS["precipitation"]["var_name"] + "_station"
+    lat = base.coords["latitude"]
+    lon = base.coords["longitude"]
+    tidx = {np.datetime64(t, "ns").astype("int64"): i
+            for i, t in enumerate(base.coords["time"])}
+    bi = [tidx[np.datetime64(t, "ns").astype("int64")] for t in stations["time"]]
+    li = np.abs(lat[None, :] - stations["latitude"].values[:, None]).argmin(1)
+    oi = np.abs(lon[None, :] - stations["longitude"].values[:, None]).argmin(1)
+    cell = base.data[bi, li, oi]
+    wet_cell = cell > 0
+    assert wet_cell.any()
+    obs_wet = stations[col].values > 0
+    # dry base cells stay exactly dry
+    assert not obs_wet[~wet_cell].any()
+    # within wet cells: wetness increases with elevation
+    elev = stations["elevation"].values[wet_cell]
+    w = obs_wet[wet_cell]
+    hi, lo = elev > np.median(elev), elev <= np.median(elev)
+    assert w[hi].mean() > w[lo].mean() + 0.2
+    # and the copy is therefore beatable: its Brier is bounded away from 0
+    assert np.mean((wet_cell.astype(float) - obs_wet.astype(float)) ** 2) > 0.005
+
+
 def test_precipitation_family(tmp_path):
     model_dir, result, base, dem, stations, out = run_family("precipitation", tmp_path)
     assert np.isfinite(result["best_val"])
