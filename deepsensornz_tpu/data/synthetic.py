@@ -156,8 +156,14 @@ def synthetic_stations(
                 if y > 0.0:
                     p_wet = 1.0 / (1.0 + np.exp(-(float(elevs[si]) - 500.0) / 250.0))
                     if rng.random() < p_wet:
+                        # floor at a trace amount so a wet draw NEVER
+                        # realises as exactly 0 — the occurrence process is
+                        # exactly Bernoulli(p_wet), not p_wet·P(amount>0)
+                        # (an un-floored near-zero amount clamped to 0.0
+                        # would be indistinguishable from an occurrence-dry
+                        # draw and undershoot the sigmoid)
                         y = max(y * (1 + 0.002 * float(elevs[si]))
-                                + rng.normal(0, 0.05), 0.0)
+                                + rng.normal(0, 0.05), 0.01)
                     else:
                         y = 0.0
             elif variable == "humidity":

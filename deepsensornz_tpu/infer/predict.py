@@ -56,6 +56,25 @@ def _affine_for(dp: DataProcessor, var: str) -> tuple[float, float]:
     raise ValueError(m)
 
 
+def _linear_interp_weights(old: np.ndarray, new: np.ndarray) -> np.ndarray:
+    """Dense (len(new), len(old)) linear-interpolation weight matrix with
+    EXACTLY the semantics of ``Field._interp_one(dim, new, 'linear')``
+    (sort-ascending, edge-clamped) so batched einsum upsampling matches the
+    per-field path bit-for-bit."""
+    old = np.asarray(old, np.float64)
+    new = np.asarray(new, np.float64)
+    order = np.argsort(old)
+    old_s = old[order]
+    pos = np.clip(np.searchsorted(old_s, new), 1, len(old_s) - 1)
+    x0, x1 = old_s[pos - 1], old_s[pos]
+    w = np.clip((new - x0) / np.maximum(x1 - x0, 1e-12), 0.0, 1.0)
+    W = np.zeros((len(new), len(old)), np.float64)
+    rows = np.arange(len(new))
+    np.add.at(W, (rows, order[pos - 1]), 1.0 - w)
+    np.add.at(W, (rows, order[pos]), w)
+    return W
+
+
 @functools.lru_cache(maxsize=64)
 def _grid_forward_fn(model, n_samples: int, transfer_dtype: Optional[str] = None):
     """Jitted gridded forward, shared across Predictor instances of the
@@ -375,16 +394,15 @@ class Predictor:
             std_scale=self.std_scale,
         )  # (S, B, M, dy)
         fields = samples.reshape(n_samples, B, len(lat_c), len(lon_c), dy)
-        # upsample back to the full grid (separable linear)
-        out = np.empty((n_samples, B, len(lat), len(lon), dy), np.float32)
-        for s in range(n_samples):
-            for b in range(B):
-                for c in range(dy):
-                    f = Field(fields[s, b, ..., c], ("latitude", "longitude"),
-                              {"latitude": lat_c, "longitude": lon_c}, "s")
-                    up = f._interp_one("latitude", lat, "linear")
-                    up = up._interp_one("longitude", lon, "linear")
-                    out[s, b, ..., c] = up.data
+        # upsample back to the full grid: ONE batched separable linear
+        # interp over (samples × batch × channels) — two einsums with the
+        # per-axis linear weight matrices (same semantics as
+        # Field._interp_one('linear'), tested equal), replacing the
+        # round-3 triple python loop
+        w_lat = _linear_interp_weights(lat_c, lat)
+        w_lon = _linear_interp_weights(lon_c, lon)
+        out = np.einsum("hi,sbijc,wj->sbhwc", w_lat, np.asarray(fields), w_lon,
+                        optimize=True).astype(np.float32)
         if unnormalise:
             scale, offset = self._affines()
             out = out * scale + offset

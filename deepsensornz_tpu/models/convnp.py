@@ -62,9 +62,13 @@ class ConvNPConfig:
     # parity-split lowering — 0.128 s vs 0.141 s full cycle — because the
     # depth-to-space interleave breaks fusion) | "subpixel" | "nearest"
     upsample: str = "transpose"
-    # Down-path lowering: "strided" | "s2d" (space-to-depth packed conv —
-    # exact reparameterisation, checkpoint-compatible; models/unet.py)
+    # Down-path lowering: "strided" | "s2d" (space-to-depth packed conv) |
+    # "packw" (width-pair lane packing) — exact reparameterisations,
+    # checkpoint-compatible; models/unet.py
     downsample: str = "strided"
+    # Width-pair lane packing for the stride-1 mix/bottleneck convs (k ≥ 5,
+    # even width): exact, checkpoint-compatible. See models/unet.py::_packw_mix.
+    lane_pack: bool = False
     # Level-0 (full-res) U-Net kernel size override (5→3 halves cycle-
     # dominant FLOPs; quality checked on hardware — docs/perf_unet.md).
     # None = kernel_size at every level (reference parity).
@@ -217,6 +221,7 @@ class ConvNP(nn.Module):
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             upsample=cfg.upsample,
             downsample=cfg.downsample,
+            lane_pack=cfg.lane_pack,
             top_kernel=cfg.top_kernel,
             name="unet",
         )(h)

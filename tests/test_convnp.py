@@ -309,3 +309,69 @@ def test_s2d_downsample_exactly_matches_strided():
             np.asarray(b.apply(pb, x)), np.asarray(a.apply(pb, x)),
             atol=2e-6, rtol=1e-5,
         )
+
+
+def test_lane_pack_exactly_matches_default():
+    """The width-packed lane lowering (lane_pack=True mix/bottleneck convs,
+    downsample="packw") is the SAME model as the default: identical
+    parameter tree, f32 outputs equal to rounding — checkpoints trained with
+    either lowering load into the other. Also checks the guards: k=3 mixes
+    and odd widths fall back to nn.Conv with the same names."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepsensornz_tpu.models.unet import UNet
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 48, 7)).astype(np.float32))
+    for k in (3, 5):
+        a = UNet(channels=(8, 8), out_channels=8, kernel_size=k,
+                 compute_dtype=jnp.float32)
+        b = UNet(channels=(8, 8), out_channels=8, kernel_size=k,
+                 compute_dtype=jnp.float32, lane_pack=True,
+                 downsample="packw")
+        pa = a.init(jax.random.key(0), x)
+        pb = b.init(jax.random.key(1), x)
+        sa = jax.tree.map(lambda v: v.shape, pa)
+        sb = jax.tree.map(lambda v: v.shape, pb)
+        assert sa == sb
+        np.testing.assert_allclose(
+            np.asarray(a.apply(pa, x)), np.asarray(b.apply(pa, x)),
+            atol=2e-6, rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.apply(pb, x)), np.asarray(a.apply(pb, x)),
+            atol=2e-6, rtol=1e-5,
+        )
+
+
+def test_packw_conv_primitives_exact():
+    """_packw_mix / _packw_down match lax SAME convs bit-closely in f32
+    across kernel sizes and channel counts (incl. the flagship 128->64 k5
+    mix shape at reduced spatial size)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepsensornz_tpu.models.unet import _packw_down, _packw_mix
+
+    rng = np.random.default_rng(1)
+    for (B, H, W, Cin, Cout, k) in [
+        (2, 16, 24, 5, 7, 5), (1, 8, 12, 3, 4, 3), (2, 12, 16, 128, 64, 5),
+    ]:
+        x = jnp.asarray(rng.normal(size=(B, H, W, Cin)).astype(np.float32))
+        kern = jnp.asarray(rng.normal(size=(k, k, Cin, Cout)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(Cout,)).astype(np.float32))
+        ref1 = jax.lax.conv_general_dilated(
+            x, kern, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        np.testing.assert_allclose(np.asarray(_packw_mix(x, kern, bias)),
+                                   np.asarray(ref1), atol=1e-4, rtol=1e-5)
+        ref2 = jax.lax.conv_general_dilated(
+            x, kern, (2, 2), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+        for po in (True, False):
+            np.testing.assert_allclose(
+                np.asarray(_packw_down(x, kern, bias, pack_out=po)),
+                np.asarray(ref2), atol=1e-4, rtol=1e-5)

@@ -290,3 +290,63 @@ def test_pit_stats(trained_run):
     assert np.isfinite(pit["z_std"])
     # Gaussian head + std_scale fit on these dates → PIT z_std ≈ 1 too
     assert 0.7 < pit["z_std"] < 1.3
+
+
+def test_fill_missing_station_values_vectorised_nearest():
+    """Each NaN is filled with the value of the nearest finite-reporting
+    station AT THAT TIME (reference preprocess.py:670-690 semantics) — the
+    vectorised broadcast path must match a direct per-point computation."""
+    import numpy as np
+    import pandas as pd
+
+    from deepsensornz_tpu.pipeline.preprocess import fill_missing_station_values
+
+    rng = np.random.default_rng(3)
+    n_st, n_t = 40, 5
+    lats = rng.uniform(-47, -34, n_st)
+    lons = rng.uniform(166, 179, n_st)
+    rows = []
+    for t in range(n_t):
+        vals = rng.normal(size=n_st)
+        nan_at = rng.choice(n_st, size=8, replace=False)
+        vals[nan_at] = np.nan
+        for i in range(n_st):
+            rows.append({"time": np.datetime64("2020-01-01") + t,
+                         "latitude": lats[i], "longitude": lons[i],
+                         "t2m_station": vals[i]})
+    df = pd.DataFrame(rows)
+    out = fill_missing_station_values(df)
+    assert np.isfinite(out["t2m_station"]).all()
+    # check against a brute-force per-point fill
+    for t, g in df.groupby("time"):
+        v = g["t2m_station"].to_numpy()
+        got = out.loc[g.index, "t2m_station"].to_numpy()
+        good = np.isfinite(v)
+        for i in np.nonzero(~good)[0]:
+            d2 = (g["latitude"].to_numpy() - g["latitude"].iloc[i]) ** 2 \
+                + (g["longitude"].to_numpy() - g["longitude"].iloc[i]) ** 2
+            d2[~good] = np.inf
+            assert got[i] == v[np.argmin(d2)]
+        # finite values untouched
+        np.testing.assert_array_equal(got[good], v[good])
+
+
+def test_linear_interp_weights_match_field_interp():
+    """The batched einsum upsample (ar_sample_grid) uses weight matrices
+    with exactly Field._interp_one('linear') semantics — including the
+    descending-latitude axis and out-of-range clamping."""
+    import numpy as np
+
+    from deepsensornz_tpu.data.grid import Field
+    from deepsensornz_tpu.infer.predict import _linear_interp_weights
+
+    rng = np.random.default_rng(4)
+    old_desc = np.linspace(-34, -47, 9)          # descending, like latitude
+    new = np.linspace(-48, -33, 31)              # includes out-of-range
+    data = rng.normal(size=(9, 6)).astype(np.float32)
+    f = Field(data, ("latitude", "x"),
+              {"latitude": old_desc, "x": np.arange(6.0)}, "v")
+    ref = f._interp_one("latitude", new, "linear").data
+    W = _linear_interp_weights(old_desc, new)
+    np.testing.assert_allclose(W @ data, ref, atol=1e-6)
+    assert np.allclose(W.sum(1), 1.0)

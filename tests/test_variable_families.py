@@ -54,8 +54,13 @@ def test_precip_generator_has_subgrid_occurrence_signal():
     tidx = {np.datetime64(t, "ns").astype("int64"): i
             for i, t in enumerate(base.coords["time"])}
     bi = [tidx[np.datetime64(t, "ns").astype("int64")] for t in stations["time"]]
-    li = np.abs(lat[None, :] - stations["latitude"].values[:, None]).argmin(1)
-    oi = np.abs(lon[None, :] - stations["longitude"].values[:, None]).argmin(1)
+    # map stations -> cells with the SAME nearest semantics the generator
+    # uses (Field.sel(method='nearest') -> grid._lookup); a local argmin
+    # would tie-break exact midpoints differently on the descending lat axis
+    from deepsensornz_tpu.data.grid import _lookup
+
+    li = _lookup(np.asarray(lat), stations["latitude"].values, method="nearest")
+    oi = _lookup(np.asarray(lon), stations["longitude"].values, method="nearest")
     cell = base.data[bi, li, oi]
     wet_cell = cell > 0
     assert wet_cell.any()
