@@ -418,13 +418,19 @@ def _decode_time(values: np.ndarray, units: str) -> np.ndarray:
 
 
 def save_dataset(ds: Dataset | Field, path: str, compress: bool = True,
-                 float32: bool = True) -> None:
+                 float32: bool = True, packing: str | None = None) -> None:
     """Write a Dataset/Field as a NetCDF-4-compatible HDF5 file.
 
     Parity in role with the compressed/chunked netCDF writer
     (``utils.py:291-327``): float32 cast + gzip ("zlib") compression +
     chunking, with CF-encoded time and dimension scales so standard netCDF
     readers (xarray/h5netcdf/netCDF4) can open the output.
+
+    ``packing="int16"`` stores float data variables as CF-packed int16 with
+    per-variable ``scale_factor``/``add_offset`` attributes (the standard
+    netCDF packing convention — xarray/netCDF4 unpack transparently): half
+    the bytes of f32 at ~1/65000-of-range precision, NaN → ``_FillValue``.
+    Coordinates stay full precision.
     """
     if not _HAS_H5PY:
         raise RuntimeError("h5py unavailable; cannot write netCDF")
@@ -449,13 +455,28 @@ def save_dataset(ds: Dataset | Field, path: str, compress: bool = True,
                 written_dims[dim] = d
         for name, field in ds.items():
             data = field.data
-            if float32 and np.issubdtype(data.dtype, np.floating):
+            pack_attrs = {}
+            if packing == "int16" and np.issubdtype(data.dtype, np.floating):
+                finite = np.isfinite(data)
+                lo = float(data[finite].min()) if finite.any() else 0.0
+                hi = float(data[finite].max()) if finite.any() else 0.0
+                scale = max((hi - lo) / 65533.0, 1e-12)
+                offset = lo + scale * 32766.0
+                packed = np.where(finite,
+                                  np.round((data - offset) / scale), -32768.0)
+                data = packed.astype(np.int16)
+                pack_attrs = {"scale_factor": np.float64(scale),
+                              "add_offset": np.float64(offset),
+                              "_FillValue": np.int16(-32768)}
+            elif float32 and np.issubdtype(data.dtype, np.floating):
                 data = data.astype(np.float32)
             kw = {}
             if compress and data.ndim >= 1 and data.size > 1024:
                 kw = dict(compression="gzip", compression_opts=1,
                           chunks=True, shuffle=True)
             v = f.create_dataset(name, data=data, **kw)
+            for k, val in pack_attrs.items():
+                v.attrs[k] = val
             for i, dim in enumerate(field.dims):
                 if dim in written_dims:
                     v.dims[i].attach_scale(written_dims[dim])
@@ -507,6 +528,18 @@ def open_dataset(path: str, variables: Sequence[str] | None = None) -> Dataset:
                 if k in ("DIMENSION_LIST", "CLASS", "NAME", "REFERENCE_LIST", "_Netcdf4Coordinates"):
                     continue
                 attrs[k] = v.decode() if isinstance(v, bytes) else v
-            fields[name] = Field(obj[()], tuple(dims), fcoords, name, attrs)
+            data = obj[()]
+            # CF packing: unpacked = packed·scale_factor + add_offset,
+            # _FillValue → NaN (transparent round-trip with
+            # save_dataset(packing="int16") and with externally-packed files)
+            if "scale_factor" in attrs or "add_offset" in attrs:
+                sf = float(attrs.pop("scale_factor", 1.0))
+                ao = float(attrs.pop("add_offset", 0.0))
+                fv = attrs.pop("_FillValue", None)
+                bad = (data == fv) if fv is not None else None
+                data = data.astype(np.float32) * sf + ao
+                if bad is not None:
+                    data = np.where(bad, np.nan, data)
+            fields[name] = Field(data, tuple(dims), fcoords, name, attrs)
         file_attrs = {k: (v.decode() if isinstance(v, bytes) else v) for k, v in f.attrs.items()}
     return Dataset(fields, file_attrs)

@@ -75,20 +75,57 @@ def _linear_interp_weights(old: np.ndarray, new: np.ndarray) -> np.ndarray:
     return W
 
 
+_QUANT_BITS = {"int16": 16, "int8": 8}
+
+
+def _quantize_ingraph(v: jnp.ndarray, bits: int) -> dict:
+    """Affine-quantize a (..., H, W, C) map IN-graph with per-(leading, C)
+    scale/offset over the spatial axes. Downloading ``q`` (int8/int16) +
+    the tiny lo/scale maps moves 4×/2× fewer bytes than f32 — the lever on
+    a wire-bound serving link. Max abs error = scale/2 = range/(2·(2ᵇ−1))
+    per map (measured in docs/results/operational_month_r4.json)."""
+    axes = (v.ndim - 3, v.ndim - 2)
+    lo = jnp.min(v, axis=axes, keepdims=True)
+    hi = jnp.max(v, axis=axes, keepdims=True)
+    levels = float(2 ** bits - 1)
+    scale = jnp.maximum((hi - lo) / levels, 1e-12)
+    q = jnp.round((v - lo) / scale) - 2.0 ** (bits - 1)
+    dt = jnp.int8 if bits == 8 else jnp.int16
+    return {"q": q.astype(dt), "lo": lo.astype(jnp.float32),
+            "scale": scale.astype(jnp.float32)}
+
+
+def _dequantize_host(d, out_dtype=np.float64) -> np.ndarray:
+    """Host-side inverse of :func:`_quantize_ingraph` (accepts plain arrays
+    too, so consumers handle every transfer mode with one call)."""
+    if not isinstance(d, dict):
+        return np.asarray(d, out_dtype)
+    q = np.asarray(d["q"])
+    half = float(2 ** (q.dtype.itemsize * 8 - 1))
+    return ((q.astype(np.float32) + half) * np.asarray(d["scale"], np.float32)
+            + np.asarray(d["lo"], np.float32)).astype(out_dtype)
+
+
 @functools.lru_cache(maxsize=64)
 def _grid_forward_fn(model, n_samples: int, transfer_dtype: Optional[str] = None):
     """Jitted gridded forward, shared across Predictor instances of the
     same (hashable) model — a fresh Predictor never recompiles.
 
-    ``transfer_dtype`` ("float16"/"bfloat16") casts the outputs IN-graph so
-    the host transfer moves half the bytes — the dominant cost of
-    operational serving over a remote host link (measured: 17.9 s of a
-    23 s month was the f32 download; docs/results/operational_month_r2.json).
-    float16's 10-bit mantissa resolves ~0.03 % of a normalised value —
-    far below station error — and outputs are upcast on the host.
+    ``transfer_dtype`` shrinks the device→host transfer — the dominant cost
+    of operational serving over a remote host link (measured: 17.1 s of a
+    19.9 s month was the f32 download; docs/results/operational_month_r3_
+    d120.json):
+    - "float16"/"bfloat16": IN-graph cast, 2× fewer bytes; f16's 10-bit
+      mantissa resolves ~0.03 % of a normalised value — far below station
+      error — and outputs are upcast on the host.
+    - "int16"/"int8": IN-graph affine quantization with per-(task, channel)
+      scale/offset over the map (2×/4× fewer bytes; int16 is MORE accurate
+      than f16 — uniform 1/65535-of-range steps vs f16's coarse tail).
     """
     lik = model.cfg.make_likelihood()
-    tdt = jnp.dtype(transfer_dtype) if transfer_dtype else None
+    qbits = _QUANT_BITS.get(transfer_dtype or "")
+    tdt = (jnp.dtype(transfer_dtype)
+           if transfer_dtype and not qbits else None)
 
     @jax.jit
     def fn(params, task, target_grid, seed, std_scale):
@@ -106,7 +143,9 @@ def _grid_forward_fn(model, n_samples: int, transfer_dtype: Optional[str] = None
             flat = raw.reshape(B, Ht * Wt, K)
             s = lik.sample(flat, jax.random.key(seed), n_samples)
             out["samples"] = s.reshape((n_samples, B, Ht, Wt, -1))
-        if tdt is not None:
+        if qbits:
+            out = {k: _quantize_ingraph(v, qbits) for k, v in out.items()}
+        elif tdt is not None:
             out = {k: v.astype(tdt) for k, v in out.items()}
         return out
 
@@ -247,11 +286,11 @@ class Predictor:
 
         out = self._grid_forward(self.params, task, (xt1, xt2, aux_grid), n_samples,
                                  jnp.asarray(seed))
-        # keep the channel axis: (B, Ht, Wt, dy)
-        mean = np.asarray(out["mean"], np.float64)
-        std = np.asarray(out["std"], np.float64)
+        # keep the channel axis: (B, Ht, Wt, dy); dequantize/upcast on host
+        mean = _dequantize_host(out["mean"])
+        std = _dequantize_host(out["std"])
         samples = (
-            np.asarray(out["samples"], np.float64) if n_samples > 0 else None
+            _dequantize_host(out["samples"]) if n_samples > 0 else None
         )
 
         if post_transform is not None:

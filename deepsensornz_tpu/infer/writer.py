@@ -33,8 +33,14 @@ def standard_metadata(extra: dict | None = None) -> dict:
 
 def save_prediction(prediction: Dataset, path: str, variable: str,
                     model_name: str = "", attrs: dict | None = None,
-                    mean_only: bool = False) -> None:
-    """Write a Prediction to netCDF (monthly-file pattern in the CLI)."""
+                    mean_only: bool = False,
+                    packing: str | None = None) -> None:
+    """Write a Prediction to netCDF (monthly-file pattern in the CLI).
+
+    ``packing="int16"`` writes CF-packed int16 variables (half the bytes,
+    ~1/65000-of-range precision; standard readers unpack transparently) —
+    pairs with ``Predictor(transfer_dtype="int16")`` for an end-to-end
+    quantized serving path."""
     from deepsensornz_tpu.data.grid import save_dataset
 
     out = prediction
@@ -44,4 +50,4 @@ def save_prediction(prediction: Dataset, path: str, variable: str,
         {"variable": variable, "model_name": model_name, **(attrs or {})}
     ))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    save_dataset(out, path, compress=True, float32=True)
+    save_dataset(out, path, compress=True, float32=True, packing=packing)

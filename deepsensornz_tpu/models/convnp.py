@@ -66,9 +66,11 @@ class ConvNPConfig:
     # "packw" (width-pair lane packing) — exact reparameterisations,
     # checkpoint-compatible; models/unet.py
     downsample: str = "strided"
-    # Width-pair lane packing for the stride-1 mix/bottleneck convs (k ≥ 5,
-    # even width): exact, checkpoint-compatible. See models/unet.py::_packw_mix.
-    lane_pack: bool = False
+    # Width-pair lane packing: False | True (per-op mix packing; measured
+    # in-model LOSS, kept for benches) | "domain" (pack once after the stem,
+    # every U-Net level op in the packed lane domain, unpack once before the
+    # head — exact, checkpoint-compatible). See models/unet.py.
+    lane_pack: Union[bool, str] = False
     # Level-0 (full-res) U-Net kernel size override (5→3 halves cycle-
     # dominant FLOPs; quality checked on hardware — docs/perf_unet.md).
     # None = kernel_size at every level (reference parity).
@@ -97,6 +99,15 @@ class ConvNPConfig:
     # flagship: holdout 0.81 °C vs 3.18 °C unanchored) — and 0.0 for the
     # per-point heads, which do not decouple. Set 0.0 explicitly to disable.
     mean_anchor: Optional[float] = None
+    # Hoist the head's FIRST linear layer through the gridded decode when
+    # the internal grid is SMALLER than the target grid (low-density
+    # serving): the decode is linear in the U-Net features (its weight
+    # normaliser depends only on coordinates), so
+    # decode(f) @ W ≡ decode(f @ W) — applying W on the internal grid does
+    # the matmul at Hg·Wg points instead of Ht·Wt (≈2.8× fewer at the d120
+    # operating point), algebraically exact (VERDICT r3 weak item 6; the
+    # aux-channel slice of W is applied at targets, where aux lives).
+    hoist_head: bool = True
     # Physical (normalised-coordinate) SetConv length-scale at init.
     # None = 2/internal_density + the half-grid-spacing floor (the shipped
     # default). Measured fact (round 3): the length-scale params receive
@@ -150,6 +161,23 @@ class ConvNPConfig:
 
 def _inv_softplus(x: float) -> float:
     return float(math.log(math.expm1(x))) if x < 20 else float(x)
+
+
+class _DenseParams(nn.Module):
+    """Parameters of an ``nn.Dense`` (same names, shapes, initialisers —
+    checkpoints are interchangeable) exposed as raw arrays so the caller can
+    split the kernel across the linear decode (head hoisting)."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self) -> tuple:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
 
 
 class ConvNP(nn.Module):
@@ -227,14 +255,38 @@ class ConvNP(nn.Module):
         )(h)
         f = _maybe_shard_grid(f, cfg)
 
-        # ---- decode at targets ---------------------------------------------
+        # ---- decode at targets + head MLP → likelihood parameters ----------
+        # The first head layer is declared as raw (kernel, bias) params with
+        # nn.Dense's exact names/shapes/init so the SAME checkpoint serves
+        # both application orders (dense-then-decode vs decode-then-dense).
         ls_dec = self._lengthscale("ls_decoder")
+        num_out = cfg.make_likelihood().num_params()
+        first_feats = cfg.mlp_hidden if cfg.mlp_layers >= 1 else num_out
+        first_name = "head_0" if cfg.mlp_layers >= 1 else "head_out"
         if target_grid is None:
-            dec = setconv_decode_offgrid(task.x1g, task.x2g, f, task.xt, ls_dec)
             aux = task.yt_aux
         else:
             xt1, xt2, aux = target_grid
-            if cfg.use_pallas:
+        a_ch = 0 if aux is None else aux.shape[-1]
+        k0, b0 = _DenseParams(first_feats, cfg.decoder_channels + a_ch,
+                              name=first_name)()
+
+        hoist = (
+            cfg.hoist_head and target_grid is not None and not cfg.use_pallas
+            and f.shape[1] * f.shape[2] < xt1.shape[0] * xt2.shape[0]
+        )
+        if hoist:
+            # decode(f) @ W ≡ decode(f @ W): first-layer matmul on the
+            # (smaller) internal grid, decode the hidden channels instead
+            g = f.astype(jnp.float32) @ k0[: cfg.decoder_channels]
+            z = setconv_decode_grid(task.x1g, task.x2g, g, xt1, xt2, ls_dec)
+            if aux is not None:
+                z = z + aux.astype(jnp.float32) @ k0[cfg.decoder_channels:]
+            z = z + b0
+        else:
+            if target_grid is None:
+                dec = setconv_decode_offgrid(task.x1g, task.x2g, f, task.xt, ls_dec)
+            elif cfg.use_pallas:
                 from deepsensornz_tpu.ops.setconv_pallas import (
                     setconv_decode_grid_best,
                 )
@@ -242,15 +294,17 @@ class ConvNP(nn.Module):
                 dec = setconv_decode_grid_best(task.x1g, task.x2g, f, xt1, xt2, ls_dec)
             else:
                 dec = setconv_decode_grid(task.x1g, task.x2g, f, xt1, xt2, ls_dec)
+            if aux is not None:
+                dec = jnp.concatenate([dec, aux.astype(jnp.float32)], axis=-1)
+            z = dec @ k0 + b0
 
-        if aux is not None:
-            dec = jnp.concatenate([dec, aux.astype(jnp.float32)], axis=-1)
-
-        # ---- head MLP → likelihood parameters -------------------------------
-        z = dec
-        for j in range(cfg.mlp_layers):
-            z = nn.relu(nn.Dense(cfg.mlp_hidden, name=f"head_{j}")(z))
-        raw = nn.Dense(cfg.make_likelihood().num_params(), name="head_out")(z)
+        if cfg.mlp_layers >= 1:
+            z = nn.relu(z)
+            for j in range(1, cfg.mlp_layers):
+                z = nn.relu(nn.Dense(cfg.mlp_hidden, name=f"head_{j}")(z))
+            raw = nn.Dense(num_out, name="head_out")(z)
+        else:
+            raw = z
         if cfg.sigmoid_output:
             raw = _sigmoid_squash(raw, cfg)
         return raw

@@ -165,84 +165,210 @@ def _packw_kernel(kernel: jnp.ndarray, P: int, stride: int, out_pack: int) -> tu
     return wp.reshape(kh, m, 2 * cin, out_pack * cout), omin, omax
 
 
+def _packw_kernel_multi(kernel: jnp.ndarray, P: int, stride: int,
+                        out_pack: int, in_splits) -> tuple:
+    """:func:`_packw_kernel` for an input that is a CONCATENATION of packed
+    sources (the U-Net skip concat): packed channel layout is source-major
+    ``[s0(q0), s0(q1), s1(q0), s1(q1), …]`` for sources of ``in_splits``
+    channels each, while the stored dense kernel orders input channels
+    source-major unpacked ``[s0_c, s1_c, …]``. Transform each source block
+    independently and concatenate along the packed input-channel axis."""
+    parts, start = [], 0
+    omin = omax = 0
+    for c in in_splits:
+        wk, omin, omax = _packw_kernel(kernel[:, :, start:start + c, :],
+                                       P, stride, out_pack)
+        parts.append(wk)
+        start += c
+    return jnp.concatenate(parts, axis=2), omin, omax
+
+
+def _packw_mix_packed(u: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                      in_splits=None) -> jnp.ndarray:
+    """Stride-1 odd-k SAME conv on an ALREADY width-packed tensor
+    (B, H, W/2, 2·Cin) → (B, H, W/2, 2·Cout): the packed-domain workhorse —
+    no reshapes at all, both MXU lane sides full at ×1.2 dense FLOPs (k=5).
+    ``in_splits`` handles concat-of-packed-sources inputs (see
+    :func:`_packw_kernel_multi`)."""
+    kh, kw, cin, cout = kernel.shape
+    if in_splits is None:
+        wp, omin, omax = _packw_kernel(kernel, kw // 2, 1, 2)
+    else:
+        wp, omin, omax = _packw_kernel_multi(kernel, kw // 2, 1, 2, in_splits)
+    y = jax.lax.conv_general_dilated(
+        u, wp.astype(u.dtype), (1, 1),
+        ((kh // 2, kh - 1 - kh // 2), (-omin, omax)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # packed output channels are (parity, c) blocks → bias tiles twice
+    return y + jnp.tile(bias, 2).astype(y.dtype)
+
+
 def _packw_mix(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
     """Stride-1 odd-k SAME conv with width-pairs packed into MXU lanes.
 
     THE lane-packing lowering for the 64-channel flagship (VERDICT r3 §next
     item 1): in row-major NHWC, (B,H,W,C) → (B,H,W/2,2C) is an
     address-preserving relabel — element (w,c) lands at w·C+c = (w//2)·2C +
-    (w%2)·C + c — so packing costs ZERO data movement (unlike the 2-D
-    space-to-depth form measured and rejected in round 3, which paid a
-    layout-changing reshape on a 1.1 GB activation). The k-tap conv becomes
-    an exact (kh, ⌈k/2⌉+…, 2Cin, 2Cout) conv: for k=5 that is 3 packed taps
-    → ×1.2 dense FLOPs with BOTH input and output lanes full (128), vs
-    ×1.44 for s2d (which also left Cout=64 half-filling the output lanes —
-    the actual reason it lost). Requires W even (every U-Net level width at
-    the flagship 608² grid is even).
+    (w%2)·C + c — so packing costs ZERO data movement in row-major terms.
+    The k-tap conv becomes an exact (kh, ⌈k/2⌉+…, 2Cin, 2Cout) conv: for
+    k=5 that is 3 packed taps → ×1.2 dense FLOPs with BOTH input and output
+    lanes full (128), vs ×1.44 for s2d (which also left Cout=64
+    half-filling the output lanes). Requires W even.
+
+    MEASURED VERDICT (perf/lanepack_bench.py, v5e): isolated the packed op
+    WINS (45.1→40.2 ms at the flagship 608²×128 mix shape) but the TPU's
+    tiled layout makes the in/out reshapes real relayouts in fusion
+    context (whole U-Net 90.0→121.0 ms) — so per-op packing loses, and the
+    shipping form is the PACKED-DOMAIN pipeline (``lane_pack="domain"``):
+    pack once after the stem, run every level op packed
+    (:func:`_packw_mix_packed` / :func:`_packw_down_packed` /
+    :func:`_packw_convT_packed`), unpack once before the head.
 
     Exactness: packed padding of 1 column = 2 original zero columns = the
     original SAME padding for k=5; verified bit-level in f32 against
-    ``nn.Conv`` in tests/test_unet_lowerings.py.
+    ``nn.Conv`` in tests/test_convnp.py.
     """
-    kh, kw, cin, cout = kernel.shape
-    wp, omin, omax = _packw_kernel(kernel, kw // 2, 1, 2)
     B, H, W, C = x.shape
     u = x.reshape(B, H, W // 2, 2 * C)
+    y = _packw_mix_packed(u, kernel, bias)
+    return y.reshape(B, H, W, kernel.shape[-1])
+
+
+def _packw_down_packed(u: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 k×k SAME conv, packed input AND packed output
+    (B, H, W/2, 2·Cin) → (B, H/2, W/4, 2·Cout): H keeps the ordinary
+    stride-2 window; along W the conv strides 2 PACKED columns per packed
+    output column (= 4 original columns for the 2 outputs it carries).
+    Kernel (kh, 4, 2Cin, 2Cout): full 128 lanes both sides, ×1.6 dense
+    FLOPs for k=5. Exact (pad_low = (k−2)//2 matches lax SAME stride-2 for
+    even W, see :func:`_s2d_down`)."""
+    kh, kw, cin, cout = kernel.shape
+    # output Y at stride 2 reads j = 2·(2·Z + p) + dx − P
+    wp, omin, omax = _packw_kernel(kernel, (kw - 2) // 2, 2, 2)
+    Ph = (kh - 2) // 2
     y = jax.lax.conv_general_dilated(
-        u, wp.astype(x.dtype), (1, 1),
-        ((kh // 2, kh - 1 - kh // 2), (-omin, omax)),
+        u, wp.astype(u.dtype), (2, 2),
+        ((Ph, kh - 2 - Ph), (-omin, omax)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    y = y.reshape(B, H, W, cout)
-    return y + bias.astype(y.dtype)
+    return y + jnp.tile(bias, 2).astype(y.dtype)
 
 
 def _packw_down(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
                 pack_out: bool = True) -> jnp.ndarray:
     """Stride-2 k×k SAME conv with width-pairs packed into lanes.
 
-    H keeps the ordinary stride-2 window; the W axis runs over packed
-    columns. With ``pack_out`` the output is also width-packed (2 output
-    columns per call → kernel (kh, 4, 2Cin, 2Cout), full 128 lanes both
-    sides, ×1.6 dense FLOPs for k=5); without, output stays unpacked
-    (kernel (kh, 3, 2Cin, Cout), ×1.2 FLOPs, 64 output lanes). Both exact
-    (pad_low = (k−2)//2 matches lax SAME stride-2 for even W, see
-    :func:`_s2d_down`)."""
-    kh, kw, cin, cout = kernel.shape
-    P = (kw - 2) // 2
-    out_pack = 2 if pack_out else 1
-    # output Y at stride 2 reads j = 2·(out_pack·Z + p) + dx − P
-    wp, omin, omax = _packw_kernel(kernel, P, 2, out_pack)
+    With ``pack_out`` the output is also width-packed (see
+    :func:`_packw_down_packed`); without, output stays unpacked (kernel
+    (kh, 3, 2Cin, Cout), ×1.2 FLOPs, 64 output lanes). Both exact."""
     B, H, W, C = x.shape
     u = x.reshape(B, H, W // 2, 2 * C)
+    if pack_out:
+        y = _packw_down_packed(u, kernel, bias)
+        return y.reshape(B, H // 2, W // 2, kernel.shape[-1])
+    kh, kw, cin, cout = kernel.shape
+    wp, omin, omax = _packw_kernel(kernel, (kw - 2) // 2, 2, 1)
     Ph = (kh - 2) // 2
     y = jax.lax.conv_general_dilated(
-        u, wp.astype(x.dtype), (2, out_pack),
+        u, wp.astype(x.dtype), (2, 1),
         ((Ph, kh - 2 - Ph), (-omin, omax)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    if pack_out:
-        y = y.reshape(B, H // 2, W // 2, cout)
     return y + bias.astype(y.dtype)
+
+
+def _packw_convT_kernel(kernel: jnp.ndarray) -> tuple:
+    """Transform a (k, k, Cin, Cout) ConvTranspose kernel into the
+    packed-width form (k, m, 2·Cin, 2·Cout) for a conv with
+    ``lhs_dilation=(2, 2)`` over the packed tensor.
+
+    Derivation (W axis; H stays the ordinary dilated-transpose axis):
+    out[Y=2Z+p] = Σ_dx x[(Y+dx−P)/2]·W[dx], P=(k+1)//2, taps with
+    (p+dx−P) even (the verified flax SAME stride-2 semantics, see
+    :func:`_subpixel_up`). With rel=(p+dx−P)/2 the original input column is
+    x_i = Z+rel, whose packed parity q = (Z+rel) mod 2 DEPENDS on Z — not
+    shift-invariant over packed columns. The dilated form restores
+    invariance: the packed input dilated along W has real columns only at
+    even positions, so the two kernel entries (q=0 at tap rel) and
+    (q=1 at tap rel−1) are structurally gated to complementary Z parities —
+    exactly one fires per output column, each reading the right original
+    column. No depth-to-space interleave anywhere: the packed output comes
+    straight out of ONE conv_general_dilated.
+    """
+    import numpy as np
+
+    k = kernel.shape[0]
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    P = (k + 1) // 2
+    entries = []  # (dx, t, q, p)
+    for p in (0, 1):
+        for dx in range(k):
+            if (p + dx - P) % 2:
+                continue
+            rel = (p + dx - P) // 2
+            entries.append((dx, rel, 0, p))
+            entries.append((dx, rel - 1, 1, p))
+    tmin = min(t for _, t, _, _ in entries)
+    tmax = max(t for _, t, _, _ in entries)
+    m = tmax - tmin + 1
+    sel = np.zeros((k, m, 2, 2), np.float32)
+    for dx, t, q, p in entries:
+        sel[dx, t - tmin, q, p] = 1.0
+    wp = jnp.einsum("yxio,xtqp->ytqipo", kernel,
+                    jnp.asarray(sel, kernel.dtype))
+    return wp.reshape(k, m, 2 * cin, 2 * cout), -tmin, m
+
+
+def _packw_convT_packed(u: jnp.ndarray, kernel: jnp.ndarray,
+                        bias: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose(k odd, stride 2, SAME) on a width-packed tensor,
+    packed in AND packed out: (B, H, W/2, 2·Cin) → (B, 2H, W, 2·Cout)
+    (packed representation of the (B, 2H, 2W, Cout) upsample). ONE
+    ``conv_general_dilated`` with ``lhs_dilation=(2, 2)``; the H axis uses
+    the standard dilated-transpose identity (pad (P, k−P), kernel taps in
+    stored order), the W axis the parity-gated packed kernel
+    (:func:`_packw_convT_kernel`). Bit-exact vs ``nn.ConvTranspose``
+    (tests/test_convnp.py)."""
+    kh = kernel.shape[0]
+    P = (kh + 1) // 2
+    wp, plw, m = _packw_convT_kernel(kernel)
+    y = jax.lax.conv_general_dilated(
+        u, wp.astype(u.dtype), (1, 1),
+        ((P, kh - P), (plw, m - plw)),
+        lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + jnp.tile(bias, 2).astype(y.dtype)
 
 
 class _PackWConv(nn.Module):
     """Drop-in nn.Conv(features, (k,k), SAME, stride 1) computed in the
     width-packed lane domain — IDENTICAL parameter names/shapes, so
-    checkpoints trained with either lowering load into the other."""
+    checkpoints trained with either lowering load into the other.
+    ``packed_io`` takes/returns already-packed tensors (the packed-domain
+    pipeline); ``in_splits`` declares a concat-of-packed-sources input."""
 
     features: int
     kernel_size: int = 5
     dtype: jnp.dtype = jnp.float32
+    packed_io: bool = False
+    in_splits: tuple | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
+        cin = x.shape[-1] // 2 if self.packed_io else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (k, k, x.shape[-1], self.features), jnp.float32,
+            (k, k, cin, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.packed_io:
+            return _packw_mix_packed(x.astype(self.dtype),
+                                     kernel.astype(self.dtype), bias,
+                                     self.in_splits)
         return _packw_mix(x.astype(self.dtype), kernel.astype(self.dtype), bias)
 
 
@@ -254,17 +380,42 @@ class _PackWDown(nn.Module):
     kernel_size: int = 5
     dtype: jnp.dtype = jnp.float32
     pack_out: bool = True
+    packed_io: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        cin = x.shape[-1] // 2 if self.packed_io else x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, cin, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.packed_io:
+            return _packw_down_packed(x.astype(self.dtype),
+                                      kernel.astype(self.dtype), bias)
+        return _packw_down(x.astype(self.dtype), kernel.astype(self.dtype), bias,
+                           self.pack_out)
+
+
+class _PackWUp(nn.Module):
+    """Drop-in nn.ConvTranspose(features, (k,k), stride 2, SAME) in the
+    width-packed domain (packed in/out) — identical param names/shapes."""
+
+    features: int
+    kernel_size: int = 5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = self.kernel_size
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            (k, k, x.shape[-1], self.features), jnp.float32,
+            (k, k, x.shape[-1] // 2, self.features), jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        return _packw_down(x.astype(self.dtype), kernel.astype(self.dtype), bias,
-                           self.pack_out)
+        return _packw_convT_packed(x.astype(self.dtype),
+                                   kernel.astype(self.dtype), bias)
 
 
 class _S2DDown(nn.Module):
@@ -327,11 +478,18 @@ class UNet(nn.Module):
     # (space-to-depth + dense conv — exact same math, checkpoint-compatible
     # both ways; see _s2d_down for the TPU rationale + measured verdict)
     downsample: str = "strided"
-    # Width-pair lane packing for the stride-1 mix/bottleneck convs
-    # (_packw_mix): exact, checkpoint-compatible, zero-cost domain change.
-    # Applied only where it can win: k ≥ 5 (the packed form costs ×1.2
-    # dense FLOPs at k=5 but ×2.0 at k=3) and even width.
-    lane_pack: bool = False
+    # Width-pair lane packing — exact, checkpoint-compatible lowerings:
+    #   False     — off (plain nn.Conv graph),
+    #   True      — per-op packing of the stride-1 mix convs only (measured
+    #               LOSS in-model: the TPU tiled layout makes each op's
+    #               pack/unpack reshape a real relayout; kept for benches),
+    #   "domain"  — the shipping form: pack ONCE after the stem, run every
+    #               level op in the packed domain (_packw_mix_packed /
+    #               _packw_down_packed / _packw_convT_packed), unpack ONCE
+    #               before the head. Requires every level width divisible
+    #               by 4 (grid width divisible by 2^(levels+1); the
+    #               flagship 608 qualifies).
+    lane_pack: bool | str = False
     # Kernel size for the LEVEL-0 (full-resolution) down/up/mix convs only.
     # The full-res level carries ~75% of the U-Net FLOPs at 608² and its mix
     # conv is already at the 64-lane MXU ceiling, so shrinking only this
@@ -352,11 +510,21 @@ class UNet(nn.Module):
         def mix_conv(features: int, k: int, name: str):
             """Stride-1 SAME conv, lane-packed where the packed form wins."""
             def apply(h):
-                if self.lane_pack and k >= 5 and h.shape[2] % 2 == 0:
+                if self.lane_pack is True and k >= 5 and h.shape[2] % 2 == 0:
                     return _PackWConv(features, k, dtype=dt, name=name)(h)
                 return nn.Conv(features, (k, k), padding="SAME", dtype=dt,
                                name=name)(h)
             return apply
+
+        if self.lane_pack == "domain":
+            levels = len(self.channels)
+            if x.shape[2] % (2 ** (levels + 1)):
+                raise ValueError(
+                    f"lane_pack='domain' needs grid width divisible by "
+                    f"2^{levels + 1} (= every level width divisible by 4); "
+                    f"got {x.shape[2]} — raise the loader's grid_multiple"
+                )
+            return self._packed_domain(x, ksz, dt)
 
         # Stem: mix encoded channels into the working width.
         x = nn.Conv(self.channels[0], (1, 1), dtype=dt, name="stem")(x)
@@ -390,6 +558,47 @@ class UNet(nn.Module):
             x = nn.relu(x)
             x = mix_conv(ch, ksz(i)[0], f"up_mix_{i}")(x)
 
+        x = nn.relu(x)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=dt, name="head")(x)
+        return x.astype(jnp.float32)
+
+    def _packed_domain(self, x: jnp.ndarray, ksz, dt) -> jnp.ndarray:
+        """The packed-domain U-Net: same parameters, same math, every level
+        op computed on width-packed tensors (both MXU lane sides full at 64
+        channels). Exactly TWO layout changes in the whole net: pack after
+        the stem, unpack before the head — the per-op pack/unpack relayouts
+        that sank per-op packing (and round 3's subpixel/s2d lowerings in
+        fusion context) do not exist here."""
+        if self.upsample == "nearest":
+            raise ValueError("lane_pack='domain' supports the transpose-conv "
+                             "up path only (nearest is a different model)")
+
+        x = nn.Conv(self.channels[0], (1, 1), dtype=dt, name="stem")(x)
+        B, H, W, C = x.shape
+        u = x.reshape(B, H, W // 2, 2 * C)
+
+        skips = []
+        for i, ch in enumerate(self.channels):
+            u = nn.relu(u)
+            skips.append(u)
+            u = _PackWDown(ch, ksz(i)[0], dtype=dt, packed_io=True,
+                           name=f"down_{i}")(u)
+
+        u = nn.relu(u)
+        u = _PackWConv(self.channels[-1], ksz(len(self.channels))[0], dtype=dt,
+                       packed_io=True, name="bottleneck")(u)
+
+        for i, ch in reversed(list(enumerate(self.channels))):
+            u = nn.relu(u)
+            u = _PackWUp(ch, ksz(i)[0], dtype=dt, name=f"up_{i}")(u)
+            skip_ch = skips[i].shape[-1] // 2
+            u = jnp.concatenate([u, skips[i]], axis=-1)
+            u = nn.relu(u)
+            u = _PackWConv(ch, ksz(i)[0], dtype=dt, packed_io=True,
+                           in_splits=(ch, skip_ch), name=f"up_mix_{i}")(u)
+
+        Bp, Hp, Wp, Cp = u.shape
+        x = u.reshape(Bp, Hp, 2 * Wp, Cp // 2)
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (1, 1), dtype=dt, name="head")(x)
         return x.astype(jnp.float32)

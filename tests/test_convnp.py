@@ -346,6 +346,135 @@ def test_lane_pack_exactly_matches_default():
         )
 
 
+def test_hoisted_head_matches_unhoisted_grid_path():
+    """hoist_head applies the first head layer on the internal grid
+    (decode(f)@W ≡ decode(f@W)); outputs must match the unhoisted gridded
+    path to f32 rounding, for models with and without aux channels and for
+    mlp_layers ∈ {0, 1, 2}. Param trees identical (checkpoint compat)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepsensornz_tpu.models.convnp import ConvNP, ConvNPConfig
+    from tests.test_convnp import _tiny_task  # self-import for clarity
+
+    task = _tiny_task()
+    # target grid LARGER than the internal grid so the hoist engages
+    xt1 = jnp.linspace(0.05, 0.95, 48)
+    xt2 = jnp.linspace(0.05, 0.95, 40)
+    rng = np.random.default_rng(0)
+    for mlp_layers, with_aux in [(1, True), (1, False), (0, True), (2, True)]:
+        cfg = ConvNPConfig(
+            unet_channels=(8, 8), likelihood="cnp", internal_density=16,
+            decoder_channels=8, mlp_hidden=8, mlp_layers=mlp_layers,
+            compute_dtype="float32", hoist_head=True,
+        )
+        t = task if with_aux else task.replace(yt_aux=None)
+        aux_g = (
+            jnp.asarray(rng.normal(size=(t.batch_size, 48, 40, 1)), jnp.float32)
+            if with_aux else None
+        )
+        model = ConvNP(cfg)
+        params = model.init(jax.random.key(0), t)
+        out_h = model.apply(params, t, target_grid=(xt1, xt2, aux_g))
+        model_u = ConvNP(dataclasses.replace(cfg, hoist_head=False))
+        out_u = model_u.apply(params, t, target_grid=(xt1, xt2, aux_g))
+        np.testing.assert_allclose(np.asarray(out_h), np.asarray(out_u),
+                                   atol=2e-5, rtol=1e-5)
+        # point path unaffected by the flag
+        np.testing.assert_allclose(
+            np.asarray(model.apply(params, t)),
+            np.asarray(model_u.apply(params, t)), atol=0, rtol=0)
+
+
+def _tiny_task(B=2, n_grid=12, n_pts=6, seed=0):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepsensornz_tpu.task.task import GridContext, PointContext, TaskBatch
+
+    rng = np.random.default_rng(seed)
+    gx1 = jnp.linspace(0, 1, n_grid)
+    gx2 = jnp.linspace(0, 1, n_grid)
+    x1g = jnp.linspace(0, 1, 16)
+    x2g = jnp.linspace(0, 1, 16)
+    return TaskBatch(
+        grids=(GridContext(
+            x1=gx1, x2=gx2,
+            y=jnp.asarray(rng.normal(size=(B, n_grid, n_grid, 2)), jnp.float32)),),
+        points=(PointContext(
+            x=jnp.asarray(rng.random((B, n_pts, 2)), jnp.float32),
+            y=jnp.asarray(rng.normal(size=(B, n_pts, 1)), jnp.float32),
+            mask=jnp.ones((B, n_pts), jnp.float32)),),
+        xt=jnp.asarray(rng.random((B, 5, 2)), jnp.float32),
+        yt=jnp.asarray(rng.normal(size=(B, 5, 1)), jnp.float32),
+        yt_mask=jnp.ones((B, 5), jnp.float32),
+        yt_aux=jnp.asarray(rng.normal(size=(B, 5, 1)), jnp.float32),
+        x1g=x1g, x2g=x2g,
+    )
+
+
+def test_packed_domain_unet_exactly_matches_default():
+    """lane_pack='domain' (pack once, every level op packed, unpack once) is
+    the SAME model as the default graph: identical parameter tree, f32
+    outputs equal to rounding, both init directions, k ∈ {3, 5}."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepsensornz_tpu.models.unet import UNet
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 32, 64, 7)).astype(np.float32))
+    for k, top in ((3, None), (5, None), (5, 3)):
+        a = UNet(channels=(8, 8, 8), out_channels=8, kernel_size=k,
+                 top_kernel=top, compute_dtype=jnp.float32)
+        b = UNet(channels=(8, 8, 8), out_channels=8, kernel_size=k,
+                 top_kernel=top, compute_dtype=jnp.float32,
+                 lane_pack="domain")
+        pa = a.init(jax.random.key(0), x)
+        pb = b.init(jax.random.key(1), x)
+        assert jax.tree.map(lambda v: v.shape, pa) == \
+            jax.tree.map(lambda v: v.shape, pb)
+        np.testing.assert_allclose(
+            np.asarray(a.apply(pa, x)), np.asarray(b.apply(pa, x)),
+            atol=2e-5, rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.apply(pb, x)), np.asarray(a.apply(pb, x)),
+            atol=2e-5, rtol=1e-5,
+        )
+
+
+def test_packw_convT_exact():
+    """_packw_convT_packed == nn.ConvTranspose(stride 2, SAME) bit-closely
+    in f32 across kernel sizes and channel counts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+
+    from deepsensornz_tpu.models.unet import _packw_convT_packed
+
+    rng = np.random.default_rng(5)
+    for (B, H, W, Cin, Cout, k) in [
+        (2, 8, 12, 5, 7, 5), (1, 6, 10, 3, 4, 3), (2, 8, 8, 64, 64, 5),
+    ]:
+        x = jnp.asarray(rng.normal(size=(B, H, W, Cin)).astype(np.float32))
+        mod = nn.ConvTranspose(Cout, (k, k), strides=(2, 2), padding="SAME")
+        params = mod.init(jax.random.key(0), x)
+        ref = mod.apply(params, x)
+        kern = params["params"]["kernel"]
+        bias = params["params"]["bias"]
+        u = x.reshape(B, H, W // 2, 2 * Cin)
+        got = _packw_convT_packed(u, kern, bias)
+        got = got.reshape(B, 2 * H, 2 * W, Cout)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-5)
+
+
 def test_packw_conv_primitives_exact():
     """_packw_mix / _packw_down match lax SAME convs bit-closely in f32
     across kernel sizes and channel counts (incl. the flagship 128->64 k5

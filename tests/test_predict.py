@@ -70,6 +70,52 @@ def test_transfer_dtype_halves_bytes_same_answer(setting):
     assert np.isnan(b["mean"].data[:, ~land]).all()
 
 
+@pytest.mark.parametrize("tdt,rel", [("int16", 1.0 / 65000), ("int8", 1.0 / 250)])
+def test_quantized_transfer_matches_f32(setting, tdt, rel):
+    """int16/int8 transfer modes (in-graph affine quantization with
+    per-(task, channel) scale/offset) match the f32 path within the
+    quantization step: max abs error ≤ map range/(2ᵇ−1). Samples dequantize
+    through the same path; sea mask survives."""
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    pq = Predictor(pred.model, pred.params, pred.dp, st_col,
+                   transfer_dtype=tdt)
+    a = pred.predict_grid(task, dem, aux_at_targets=dem_n, n_samples=2)
+    b = pq.predict_grid(task, dem, aux_at_targets=dem_n, n_samples=2)
+    land = ~np.isnan(dem.data)
+    for key in ("mean", "std", "samples"):
+        ma = a[key].data[..., land]
+        mb = b[key].data[..., land]
+        rng_per_map = np.nanmax(ma) - np.nanmin(ma)
+        assert np.nanmax(np.abs(mb - ma)) <= rel * max(rng_per_map, 1e-6) * 1.01
+    assert np.isnan(b["mean"].data[:, ~land]).all()
+
+
+def test_cf_int16_packed_netcdf_roundtrip(setting, tmp_path):
+    """save_prediction(packing='int16') writes CF scale_factor/add_offset
+    packed variables that open_dataset unpacks transparently: values within
+    range/65000, NaN sea cells round-trip via _FillValue, file smaller."""
+    import os
+
+    from deepsensornz_tpu.data.grid import open_dataset
+    from deepsensornz_tpu.infer.writer import save_prediction
+
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    out = pred.predict_grid(task, dem, aux_at_targets=dem_n, times=times[:2])
+    p32 = str(tmp_path / "f32.nc")
+    p16 = str(tmp_path / "i16.nc")
+    save_prediction(out, p32, "temperature", "t")
+    save_prediction(out, p16, "temperature", "t", packing="int16")
+    back = open_dataset(p16)
+    m0, m1 = out["mean"].data, back["mean"].data
+    land = ~np.isnan(dem.data)
+    span = np.nanmax(m0) - np.nanmin(m0)
+    assert np.nanmax(np.abs(m1[:, land] - m0[:, land])) <= span / 65000 * 1.01
+    assert np.isnan(m1[:, ~land]).all()
+    # gzip already squeezes the tiny fixture hard; just require smaller
+    # (the 2× raw-bytes win shows at operational sizes)
+    assert os.path.getsize(p16) < os.path.getsize(p32)
+
+
 def test_unnormalisation_scale(setting):
     pred, task, dem, dem_n, times, stations, st_col = setting
     phys = pred.predict_grid(task, dem, aux_at_targets=dem_n)
