@@ -488,8 +488,17 @@ def save_dataset(ds: Dataset | Field, path: str, compress: bool = True,
                 f.attrs[k] = val
 
 
-def open_dataset(path: str, variables: Sequence[str] | None = None) -> Dataset:
-    """Read a NetCDF-4/HDF5 file into a Dataset (parity: ``utils.py:59-71``)."""
+def open_dataset(path: str, variables: Sequence[str] | None = None,
+                 time_window: tuple | None = None) -> Dataset:
+    """Read a NetCDF-4/HDF5 file into a Dataset (parity: ``utils.py:59-71``).
+
+    ``time_window=(t0, t1)`` (datetime64-coercible, inclusive) reads ONLY
+    the rows of time-dimensioned variables whose decoded time falls in the
+    window — an h5py hyperslab read, so a month's query against a year file
+    moves a month's bytes (the reference's lazy ``era5.load_ds_time``
+    pattern, ``era5.py:119-138``). Variables without a time dimension load
+    whole; an empty overlap yields zero-length time axes.
+    """
     if not _HAS_H5PY:
         raise RuntimeError("h5py unavailable; cannot read netCDF")
     fields: dict[str, Field] = {}
@@ -514,6 +523,18 @@ def open_dataset(path: str, variables: Sequence[str] | None = None) -> Dataset:
             return vals
 
         coords = {n: read_coord(n, o) for n, o in scales.items()}
+        tsel = None  # (lo, hi) row slice of the time axis
+        if time_window is not None and "time" in coords and np.issubdtype(
+                np.asarray(coords["time"]).dtype, np.datetime64):
+            t = np.asarray(coords["time"]).astype("datetime64[s]")
+            t0 = np.datetime64(time_window[0], "s")
+            t1 = np.datetime64(time_window[1], "s")
+            inside = np.nonzero((t >= t0) & (t <= t1))[0]
+            lo = int(inside[0]) if len(inside) else 0
+            hi = int(inside[-1]) + 1 if len(inside) else 0
+            tsel = (lo, hi)
+            coords = dict(coords)
+            coords["time"] = coords["time"][lo:hi]
         for name, obj in data_vars.items():
             if variables is not None and name not in variables:
                 continue
@@ -528,7 +549,15 @@ def open_dataset(path: str, variables: Sequence[str] | None = None) -> Dataset:
                 if k in ("DIMENSION_LIST", "CLASS", "NAME", "REFERENCE_LIST", "_Netcdf4Coordinates"):
                     continue
                 attrs[k] = v.decode() if isinstance(v, bytes) else v
-            data = obj[()]
+            if tsel is not None and "time" in dims:
+                ax = dims.index("time")
+                sl = tuple(
+                    slice(tsel[0], tsel[1]) if i == ax else slice(None)
+                    for i in range(obj.ndim)
+                )
+                data = obj[sl]
+            else:
+                data = obj[()]
             # CF packing: unpacked = packed·scale_factor + add_offset,
             # _FillValue → NaN (transparent round-trip with
             # save_dataset(packing="int16") and with externally-packed files)

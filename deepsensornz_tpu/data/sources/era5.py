@@ -55,8 +55,14 @@ class ERA5Source:
 
     # -- loading -----------------------------------------------------------------
 
-    def load(self, variable: str, years: Sequence[int]) -> Field:
-        """Concatenate year files along time for one variable."""
+    def load(self, variable: str, years: Sequence[int],
+             time_window: tuple | None = None) -> Field:
+        """Concatenate year files along time for one variable.
+
+        ``time_window=(t0, t1)`` restricts every file read to the rows
+        inside the window (h5py hyperslab — a month's query against hourly
+        year files moves a month's bytes, not a year's); files with no
+        overlap contribute nothing."""
         files = self.candidate_files(variable, years)
         if not files:
             raise FileNotFoundError(
@@ -65,20 +71,36 @@ class ERA5Source:
         short = cfg.VAR_ERA5[variable]["var_name"]
         pieces = []
         for f in files:
-            ds = open_dataset(f)
+            ds = open_dataset(f, time_window=time_window)
             name = short if short in ds else next(iter(ds.keys()))
             fld = ds[name]
+            if "time" in fld.dims and fld.data.shape[fld.axis("time")] == 0:
+                continue  # file entirely outside the window
             # drop the ERA5T 'expver' axis if present (era5.py:131-135)
             if "expver" in fld.dims:
                 fld = fld.isel(expver=0)
             pieces.append(fld)
+        if not pieces:
+            raise FileNotFoundError(
+                f"ERA5 files for {variable!r} exist but none overlap "
+                f"time_window={time_window}"
+            )
         return concat_time(pieces).rename(short)
 
-    def load_time(self, variable: str, times: np.ndarray) -> Field:
-        """Load exactly the requested timestamps (``era5.py:119-138``)."""
+    def load_time(self, variable: str, times: np.ndarray,
+                  window_pad: np.timedelta64 = np.timedelta64(1, "h")) -> Field:
+        """Load exactly the requested timestamps (``era5.py:119-138``).
+
+        Windowed: only the file rows inside [min(times)−pad, max(times)+pad]
+        are read (reference laziness parity — the eager round-3 form paid a
+        year's I/O and ~0.6 GB RAM per variable-year for a month's query).
+        ``window_pad`` keeps nearest-neighbour semantics at the window edges
+        for off-stamp queries."""
         times = np.asarray(times, dtype="datetime64[s]")
         years = sorted({int(str(t.astype("datetime64[Y]"))) for t in times})
-        fld = self.load(variable, years)
+        fld = self.load(variable, years,
+                        time_window=(times.min() - window_pad,
+                                     times.max() + window_pad))
         return fld.sel(time=times, method="nearest")
 
     # -- transforms ---------------------------------------------------------------

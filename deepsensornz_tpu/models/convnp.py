@@ -66,11 +66,13 @@ class ConvNPConfig:
     # "packw" (width-pair lane packing) — exact reparameterisations,
     # checkpoint-compatible; models/unet.py
     downsample: str = "strided"
-    # Width-pair lane packing: False | True (per-op mix packing; measured
-    # in-model LOSS, kept for benches) | "domain" (pack once after the stem,
-    # every U-Net level op in the packed lane domain, unpack once before the
-    # head — exact, checkpoint-compatible). See models/unet.py.
-    lane_pack: Union[bool, str] = False
+    # Width-pair lane packing: "auto" (default — run the U-Net in the packed
+    # lane domain exactly when measured to win: k ≥ 5 at every level,
+    # transpose up path, widths divisible; else the plain graph) | False |
+    # True (per-op mix packing; measured in-model LOSS, kept for benches) |
+    # "domain" (force; raises if widths don't divide). Exact and
+    # checkpoint-compatible in every mode. See models/unet.py.
+    lane_pack: Union[bool, str] = "auto"
     # Level-0 (full-res) U-Net kernel size override (5→3 halves cycle-
     # dominant FLOPs; quality checked on hardware — docs/perf_unet.md).
     # None = kernel_size at every level (reference parity).

@@ -516,7 +516,19 @@ class UNet(nn.Module):
                                name=name)(h)
             return apply
 
-        if self.lane_pack == "domain":
+        lane = self.lane_pack
+        if lane == "auto":
+            # engage the packed domain exactly where it is measured to win:
+            # k ≥ 5 at EVERY level (k=3 packs at ×2 dense FLOPs — the
+            # top_kernel=3 variant measured slower packed), transpose-conv
+            # up path, and widths divisible so every level packs
+            lane = "domain" if (
+                self.kernel_size >= 5
+                and (self.top_kernel is None or self.top_kernel >= 5)
+                and self.upsample in ("transpose", "subpixel")
+                and x.shape[2] % (2 ** (len(self.channels) + 1)) == 0
+            ) else False
+        if lane == "domain":
             levels = len(self.channels)
             if x.shape[2] % (2 ** (levels + 1)):
                 raise ValueError(

@@ -161,30 +161,54 @@ def main(argv=None):
         "compute_tasks_per_sec": round(ns.hours / t_compute, 1),
     }), flush=True)
 
-    # ---- float16 transfer mode (Predictor(transfer_dtype="float16")) ------
-    fwd16 = _grid_forward_fn(model, 0, "float16")
-    outs16 = [fwd16(params, dev_tasks[0], (xt1, xt2, aux_grid), seed, one)]
-    jax.block_until_ready(outs16[0]["mean"])   # compile
-    outs16 = []
-    tc = time.perf_counter()
-    for t in dev_tasks:
-        outs16.append(fwd16(params, t, (xt1, xt2, aux_grid), seed, one))
-    float(np.asarray(jnp.sum(outs16[-1]["mean"][0, 0]).astype(jnp.float32)))
-    t_compute16 = time.perf_counter() - tc
-    td = time.perf_counter()
-    m16 = [np.asarray(o["mean"][..., 0]) for o in outs16]
-    s16 = [np.asarray(o["std"][..., 0]) for o in outs16]
-    t_download16 = time.perf_counter() - td
-    mb16 = sum(a.nbytes for a in m16 + s16) / 1e6
-    err = float(np.nanmax([np.abs(a.astype(np.float32) - b).max()
-                           for a, b in zip(m16, month_mean)]))
-    print(json.dumps({
-        "metric": "month_device_resident_f16_transfer",
-        "compute_s": round(t_compute16, 2),
-        "download_s": round(t_download16, 2),
-        "download_mb": round(mb16, 1),
-        "max_abs_diff_vs_f32": round(err, 5),
-    }), flush=True)
+    # ---- reduced-byte transfer modes + compute/download overlap ----------
+    # (VERDICT r4 item 2): in-graph quantization shrinks the wire bytes
+    # (int16 2×, int8 4× vs f32) and a small download thread pool overlaps
+    # the remaining transfer with compute AND pipelines relay round trips.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from deepsensornz_tpu.infer.predict import _dequantize_host
+
+    def run_mode(tdt, n_threads):
+        fwd_m = _grid_forward_fn(model, 0, tdt)
+        w = fwd_m(params, dev_tasks[0], (xt1, xt2, aux_grid), seed, one)
+        jax.block_until_ready(jax.tree.leaves(w)[0])   # compile
+        t0 = time.perf_counter()
+        outs_m = [fwd_m(params, t, (xt1, xt2, aux_grid), seed, one)
+                  for t in dev_tasks]
+
+        def fetch(o):
+            return (_dequantize_host(o["mean"], np.float32)[..., 0],
+                    _dequantize_host(o["std"], np.float32)[..., 0])
+
+        if n_threads > 1:
+            with ThreadPoolExecutor(n_threads) as ex:
+                got = list(ex.map(fetch, outs_m))
+        else:
+            got = [fetch(o) for o in outs_m]
+        wall = time.perf_counter() - t0
+
+        def leaf_bytes(o):
+            return sum(v.nbytes for v in jax.tree.leaves(o))
+
+        mb_m = sum(leaf_bytes(o) for o in outs_m) / 1e6
+        err_m = float(np.nanmax([
+            max(np.abs(m - a).max(), np.abs(s - b).max())
+            for (m, s), a, b in zip(got, month_mean, month_std)]))
+        return wall, mb_m, err_m
+
+    results = {}
+    for tdt, nt in [("float16", 1), ("int16", 1), ("int16", 4),
+                    ("int8", 4), (None, 4)]:
+        wall, mb_m, err_m = run_mode(tdt, nt)
+        key = f"{tdt or 'float32'}_threads{nt}"
+        results[key] = {
+            "wall_s": round(wall, 2),
+            "download_mb": round(mb_m, 1),
+            "max_abs_diff_vs_f32": round(err_m, 6),
+        }
+        print(json.dumps({"metric": f"month_transfer_{key}",
+                          **results[key]}), flush=True)
 
 
 if __name__ == "__main__":

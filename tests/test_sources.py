@@ -45,6 +45,29 @@ def test_era5_load_time(era5_archive):
     np.testing.assert_array_equal(f.coords["time"].astype("datetime64[s]"), want)
 
 
+def test_era5_windowed_load_reads_only_window(era5_archive):
+    """load_time reads only the file rows in [min, max]+pad (h5py hyperslab
+    — reference era5.load_ds_time laziness): values identical to the eager
+    load, and open_dataset(time_window=...) returns exactly the window."""
+    from deepsensornz_tpu.data.grid import open_dataset
+
+    src = ERA5Source(era5_archive)
+    want = np.datetime64("2001-01-01T10:00:00", "s") + np.arange(5) * np.timedelta64(1, "h")
+    lazy = src.load_time("temperature", want)
+    eager = src.load("temperature", [2000, 2001]).sel(time=want, method="nearest")
+    np.testing.assert_array_equal(lazy.data, eager.data)
+
+    path = src.candidate_files("temperature", [2001])[0]
+    ds = open_dataset(path, time_window=(want[0], want[-1]))
+    assert ds["t2m"].sizes()["time"] == 5
+    np.testing.assert_array_equal(
+        ds["t2m"].coords["time"].astype("datetime64[s]"), want)
+    # empty overlap → zero-length time axis
+    empty = open_dataset(path, time_window=(np.datetime64("1990-01-01"),
+                                            np.datetime64("1990-02-01")))
+    assert empty["t2m"].sizes()["time"] == 0
+
+
 def test_daily_resample_mean_and_sum():
     t = np.datetime64("2000-01-01", "s") + np.arange(48) * np.timedelta64(1, "h")
     data = np.ones((48, 2, 2))
@@ -107,6 +130,54 @@ def test_load_stations_time_with_holdout(station_archive):
     assert "dry_bulb_station" in df.columns
     kept = src.load_stations_time("temperature", times, keep_stations=["alpha"])
     assert set(kept["station_name"]) == {"alpha"}
+
+
+def test_station_index_load_identical_and_persisted(station_archive):
+    """The persisted archive index + windowed thread-pool load returns the
+    SAME frame as the index-free path (holdouts included), skips the
+    corrupt file into the counter both ways, persists next to the archive,
+    and rescans entries whose (mtime, size) changed."""
+    import json
+    import os
+    import warnings
+
+    src = StationSource(station_archive)
+    times = np.datetime64("2000-01-02", "s") + np.arange(30) * np.timedelta64(1, "h")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        a = src.load_stations_time("temperature", times, use_index=False,
+                                   remove_stations=["bravo"])
+        skipped_a = list(src.skipped)
+        b = src.load_stations_time("temperature", times,
+                                   remove_stations=["bravo"])
+        skipped_b = list(src.skipped)
+    pdt = a.sort_values(["station_name", "time"]).reset_index(drop=True)
+    pdt2 = b.sort_values(["station_name", "time"]).reset_index(drop=True)
+    assert pdt.equals(pdt2)
+    assert skipped_a == skipped_b and len(skipped_a) == 1
+    assert os.path.exists(src.index_path)
+    with open(src.index_path) as f:
+        idx = json.load(f)
+    assert len(idx) == 3  # corrupt file not indexed
+    ent = next(iter(idx.values()))
+    assert ent["t_min"].startswith("2000-01-01")
+    assert "dry_bulb" in ent["variables"]
+
+    # daily path identical too (windowed read must cover whole days)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        da = src.load_stations_time("temperature", times, daily=True,
+                                    use_index=False)
+        db = src.load_stations_time("temperature", times, daily=True)
+    assert da.sort_values(["station_name", "time"]).reset_index(drop=True).equals(
+        db.sort_values(["station_name", "time"]).reset_index(drop=True))
+
+    # stale entry: touch a file's mtime → rescan refreshes it
+    victim = [p for p in src.station_files() if "alpha" in p][0]
+    os.utime(victim, (1, 1))
+    src2 = StationSource(station_archive)
+    idx2 = src2.build_index()
+    assert idx2[victim]["mtime"] == 1
 
 
 def test_load_station_daily_resample(station_archive):
