@@ -78,6 +78,43 @@ def make_global_mesh(n_spatial: int = 1) -> Mesh:
                 axis_types=(AxisType.Auto, AxisType.Auto))
 
 
+def shard_task_multihost(task, mesh: Mesh):
+    """Assemble a GLOBAL TaskBatch on a multi-process mesh from per-host
+    data: batch-dimensioned leaves shard over the data axis (each process
+    contributes only its local rows — the per-host input-pipeline pattern),
+    everything else replicates. The multi-process counterpart of
+    ``parallel.mesh.shard_task`` (single-process device_put cannot build
+    cross-host global arrays)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch = task.batch_size
+    per, off = shard_batch_for_host(batch)
+
+    def place(leaf):
+        leaf = np.asarray(leaf)
+        if leaf.ndim >= 1 and leaf.shape[0] == batch:
+            return jax.make_array_from_process_local_data(
+                NamedSharding(mesh, P(DATA_AXIS)), leaf[off: off + per])
+        return jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P()), leaf)
+
+    return jax.tree.map(place, task)
+
+
+def replicate_multihost(tree, mesh: Mesh):
+    """Place a pytree (params / optimizer state) as replicated GLOBAL
+    arrays on a multi-process mesh — every process must hold identical
+    values (e.g. the same seeded init)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh, P())
+
+    def place(leaf):
+        return jax.make_array_from_process_local_data(sh, np.asarray(leaf))
+
+    return jax.tree.map(place, tree)
+
+
 def shard_batch_for_host(global_batch: int) -> tuple[int, int]:
     """(per-host batch, host offset) for feeding a globally-sharded batch
     from per-host input pipelines (each host loads only its shard)."""
