@@ -86,6 +86,39 @@ class Likelihood:
         Applied by Predictor / AR / pit_stats, NEVER during training."""
         raise NotImplementedError
 
+    def crps(self, raw: jnp.ndarray, y: jnp.ndarray, rng: jax.Array,
+             n: int = 64) -> jnp.ndarray:
+        """Marginal CRPS per target point, shape (..., M, dy), in the
+        head's (normalised) units — a PROPER score of the full predictive
+        distribution (RMSE only scores the mean; the reference's notebooks
+        eyeball calibration but never score it,
+        ``validation_notebook.py:422-492``).
+
+        Default: the sample-based energy form
+        ``CRPS(F, y) = E|X−y| − ½·E|X−X′|`` with the unbiased pairwise
+        U-statistic computed from SORTED samples in O(n log n):
+        ``Σ_{i≠j}|x_i−x_j| / (n(n−1)) = 2·Σ_k (2k−n+1)·x_(k) / (n(n−1))``
+        (k zero-based). Gaussian heads override with the closed form.
+        Valid for the mixed heads too (point masses just repeat samples).
+        """
+        xs = self.sample(raw, rng, n)  # (n, ..., M, dy)
+        term1 = jnp.mean(jnp.abs(xs - y.astype(jnp.float32)[None]), axis=0)
+        xs_sorted = jnp.sort(xs, axis=0)
+        k = jnp.arange(n, dtype=jnp.float32)
+        w = (2.0 * k - n + 1.0) / (n * (n - 1.0))
+        pair = jnp.tensordot(w, xs_sorted, axes=(0, 0))
+        return term1 - pair
+
+    @staticmethod
+    def _gaussian_crps(mu, sigma, y):
+        """Closed-form CRPS of N(mu, sigma²) at y (Gneiting & Raftery 2007):
+        σ·[z(2Φ(z)−1) + 2φ(z) − 1/√π]."""
+        z = (y.astype(jnp.float32) - mu) / sigma
+        phi = jnp.exp(-0.5 * jnp.square(z)) / jnp.sqrt(2.0 * jnp.pi)
+        Phi = jax.scipy.stats.norm.cdf(z)
+        return sigma * (z * (2.0 * Phi - 1.0) + 2.0 * phi
+                        - 1.0 / jnp.sqrt(jnp.pi))
+
     def _norm(self, pointwise_nll: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         # batch mean weighted by per-task validity: fully-masked tasks
         # (batch padding, `parallel/mesh.py::pad_batch_to_multiple`) must
@@ -133,6 +166,10 @@ class HeteroscedasticGaussian(Likelihood):
         mu, sigma = self._split(raw)
         f = jax.scipy.stats.norm.cdf(y.astype(jnp.float32), mu, sigma)
         return f, f
+
+    def crps(self, raw, y, rng=None, n=0):
+        mu, sigma = self._split(raw)
+        return self._gaussian_crps(mu, sigma, y)
 
     def rescale_raw(self, raw, s):
         dy = self.dim_y
@@ -251,6 +288,13 @@ class LowRankGaussian(Likelihood):
         mu, std = self.mean_std(raw)
         f = jax.scipy.stats.norm.cdf(y.astype(jnp.float32), mu, std)
         return f, f
+
+    def crps(self, raw, y, rng=None, n=0):
+        # marginal CRPS: each target's marginal is Gaussian with the
+        # low-rank-inclusive std from mean_std (joint structure enters the
+        # NLL, not the pointwise score — same stance as cdf_bounds)
+        mu, std = self.mean_std(raw)
+        return self._gaussian_crps(mu, std, y)
 
     def rescale_raw(self, raw, s):
         dy, r = self.dim_y, self.rank

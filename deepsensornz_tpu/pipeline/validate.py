@@ -179,16 +179,21 @@ class Validate:
         return self.run["task_loader"]
 
     def _unnormalise_obs(self, yt: np.ndarray) -> np.ndarray:
-        """Observed (normalised) targets → physical units, through the same
-        affine as predictions (``infer.predict._affine_for``)."""
-        from deepsensornz_tpu.infer.predict import _affine_for
-
+        """Observed (normalised) targets (..., M, dy) → physical units,
+        each channel through its OWN variable's affine (the Predictor's
+        per-channel ``_affines``) — dim_yt>1 artifacts (e.g. joint wind
+        u+v) score every channel with the right stats, not channel 0's."""
+        yt = np.asarray(yt, np.float64)
         if self.run["variable"] == "humidity":
             yt = yt * 2.0 - 1.0  # undo the unit-interval shift first
-        scale, offset = _affine_for(
-            self.run["data_processor"], self.task_loader.target_var_IDs[0]
-        )
+        scale, offset = self.predictor._affines()  # (dy,), (dy,)
         return yt * scale + offset
+
+    @staticmethod
+    def _as_channels(arr: np.ndarray, dy: int) -> np.ndarray:
+        """(B, M) single-channel arrays → (B, M, 1); (B, M, dy) unchanged."""
+        arr = np.asarray(arr, np.float64)
+        return arr[..., None] if arr.ndim == 2 and dy >= 1 else arr
 
     def _make_tasks(self, dates, remove_stations: Sequence[str] = (),
                     seed_override: int = 42):
@@ -226,19 +231,34 @@ class Validate:
 
     def calculate_loss(self, dates, remove_stations: Sequence[str] = ()) -> dict:
         """Per-station RMSE between predicted mean and observation, in
-        physical units (``validate.py:206-317``)."""
+        physical units (``validate.py:206-317``). Every target channel is
+        scored with its own stats; ``per_channel`` keys the breakdown by
+        ``target_var_IDs``. Single-channel models keep the legacy (B, M)
+        array shapes; dim_yt>1 returns (B, M, dy)."""
         pred = self.get_predictions(dates, remove_stations)
-        obs = self._unnormalise_obs(pred["yt"][..., 0])
+        obs = self._unnormalise_obs(pred["yt"])          # (B, M, dy)
+        dy = obs.shape[-1]
         mask = pred["mask"]
-        err = np.where(mask, pred["mean"] - obs, np.nan)
-        overall = float(np.sqrt(np.nanmean(err**2)))
+        mean = self._as_channels(pred["mean"], dy)
+        err = np.where(mask[..., None], mean - obs, np.nan)
+        obs_m = np.where(mask[..., None], obs, np.nan)
+        per_channel = {
+            vid: {
+                "rmse": float(np.sqrt(np.nanmean(err[..., c] ** 2))),
+                "mae": float(np.nanmean(np.abs(err[..., c]))),
+                "bias": float(np.nanmean(err[..., c])),
+            }
+            for c, vid in enumerate(self.task_loader.target_var_IDs)
+        }
+        squeeze = dy == 1
         return {
-            "rmse": overall,
+            "rmse": float(np.sqrt(np.nanmean(err**2))),
             "mae": float(np.nanmean(np.abs(err))),
             "bias": float(np.nanmean(err)),
-            "errors": err,
-            "pred_mean": pred["mean"],
-            "obs": np.where(mask, obs, np.nan),
+            "per_channel": per_channel,
+            "errors": err[..., 0] if squeeze else err,
+            "pred_mean": mean[..., 0] if squeeze else mean,
+            "obs": obs_m[..., 0] if squeeze else obs_m,
             "xt": pred["xt"],
         }
 
@@ -279,8 +299,11 @@ class Validate:
 
         # group target slots into stations by (rounded) coordinate identity
         per_station: dict[tuple, list] = {}
-        flat_err = np.asarray(errors).ravel()
+        errors = np.asarray(errors)
+        flat_err = errors.ravel()
         keys = np.stack([lat.ravel().round(4), lon.ravel().round(4)], -1)
+        if errors.ndim == 3:  # dim_yt>1: every channel shares its slot's key
+            keys = np.repeat(keys, errors.shape[-1], axis=0)
         for k, e in zip(map(tuple, keys), flat_err):
             if np.isfinite(e):
                 per_station.setdefault(k, []).append(e)
@@ -385,9 +408,23 @@ class Validate:
         it is a quantitative diagnostic.
         """
         pred = self.get_predictions(dates, remove_stations)
-        obs = self._unnormalise_obs(pred["yt"][..., 0])
+        obs = self._unnormalise_obs(pred["yt"])          # (B, M, dy)
+        dy = obs.shape[-1]
         mask = pred["mask"]
-        z = np.where(mask, (obs - pred["mean"]) / np.maximum(pred["std"], 1e-9), np.nan)
+        mean = self._as_channels(pred["mean"], dy)
+        std = self._as_channels(pred["std"], dy)
+        z = np.where(mask[..., None], (obs - mean) / np.maximum(std, 1e-9),
+                     np.nan)
+        out = self._z_summary(z)
+        if dy > 1:
+            out["per_channel"] = {
+                vid: self._z_summary(z[..., c])
+                for c, vid in enumerate(self.task_loader.target_var_IDs)
+            }
+        return out
+
+    @staticmethod
+    def _z_summary(z: np.ndarray) -> dict:
         zf = z[np.isfinite(z)]
         return {
             "z_mean": float(zf.mean()) if len(zf) else np.nan,
@@ -432,18 +469,153 @@ class Validate:
             np.asarray(task.yt_mask).astype(bool)[..., None], lo.shape)
         rng = np.random.default_rng(seed)
         u = lo + rng.random(lo.shape) * np.maximum(hi - lo, 0.0)
-        z = ndtri(np.clip(u[mask], 1e-6, 1.0 - 1e-6))
-        z = z[np.isfinite(z)]
-        out = {
-            "z_mean": float(z.mean()) if len(z) else np.nan,
-            "z_std": float(z.std()) if len(z) else np.nan,
-            "coverage_95": float(np.mean(np.abs(z) < 1.96)) if len(z) else np.nan,
-            "coverage_68": float(np.mean(np.abs(z) < 1.0)) if len(z) else np.nan,
-            "n": int(len(z)),
-        }
+        zfull = ndtri(np.clip(u, 1e-6, 1.0 - 1e-6))
+        zfull = np.where(mask, zfull, np.nan)
+        out = self._z_summary(zfull)
+        if zfull.shape[-1] > 1:
+            out["per_channel"] = {
+                vid: self._z_summary(zfull[..., c])
+                for c, vid in enumerate(self.task_loader.target_var_IDs)
+            }
         if return_samples:
+            z = zfull[np.isfinite(zfull)]
             out["z"] = z  # for plot.plot_calibration
         return out
+
+    def crps(self, dates, remove_stations: Sequence[str] = (),
+             n_samples: int = 64, seed: int = 0) -> dict:
+        """Mean marginal CRPS at station targets, in physical units — a
+        PROPER score of the whole predictive distribution (RMSE scores only
+        the mean; the reference's notebooks eyeball calibration but never
+        score it). Closed form for the Gaussian heads, sampled energy form
+        for the mixed ones (``likelihoods.Likelihood.crps``); the shipped
+        ``std_scale`` recalibration applies, as in ``pit_stats``. CRPS is
+        affine-equivariant, so normalised-space scores scale by each
+        channel's |scale| (× the humidity unit-interval factor)."""
+        import jax
+        import jax.numpy as jnp
+
+        task = self._make_tasks(dates, remove_stations)
+        model = self.run["model"]
+        lik = model.cfg.make_likelihood()
+        if not hasattr(self, "_jit_apply"):
+            self._jit_apply = jax.jit(model.apply)
+        raw = self._jit_apply(self.run["params"], task)
+        raw = lik.rescale_raw(raw, jnp.asarray(self.predictor.std_scale,
+                                               jnp.float32))
+        c = np.asarray(lik.crps(raw, jnp.asarray(task.yt),
+                                jax.random.key(seed), n_samples), np.float64)
+        scale, _ = self.predictor._affines()
+        if self.run["variable"] == "humidity":
+            scale = scale * 2.0  # unit-interval shift is a further affine
+        c = c * np.abs(scale)
+        mask = np.asarray(task.yt_mask).astype(bool)
+        c = np.where(mask[..., None], c, np.nan)
+        out = {"crps": float(np.nanmean(c)), "n": int(np.isfinite(c).sum())}
+        if c.shape[-1] > 1:
+            out["per_channel"] = {
+                vid: float(np.nanmean(c[..., ch]))
+                for ch, vid in enumerate(self.task_loader.target_var_IDs)
+            }
+        return out
+
+    def _target_station_coords(self) -> dict:
+        """{station name/id: (lat, lon)} of every target station, unmapped
+        from the processed target frame's x1/x2."""
+        df = self.task_loader.target
+        key = ("station_name" if "station_name" in df.columns
+               else "station_id")
+        dp = self.run["data_processor"]
+        lat = np.asarray(dp.unmap_x1(df["x1"].to_numpy()))
+        lon = np.asarray(dp.unmap_x2(df["x2"].to_numpy()))
+        out: dict = {}
+        for name, la, lo_ in zip(df[key].to_numpy(), lat, lon):
+            out.setdefault(str(name), (float(la), float(lo_)))
+        return out
+
+    def _region_predicate(self, lat_range=None, lon_range=None,
+                          elevation_range=None, elevation_lookup=None):
+        """(lat, lon) -> bool membership test for a lat/lon box and/or an
+        elevation band (band bounds follow elevation_band_errors: lo
+        inclusive, hi exclusive, None-open)."""
+        if elevation_range is not None and elevation_lookup is None:
+            elevation_lookup = registry_elevation_lookup()
+
+        def inside(la: float, lo_: float) -> bool:
+            if lat_range is not None and not (
+                    lat_range[0] <= la <= lat_range[1]):
+                return False
+            if lon_range is not None and not (
+                    lon_range[0] <= lo_ <= lon_range[1]):
+                return False
+            if elevation_range is not None:
+                e = elevation_lookup(la, lo_)
+                lo_e, hi_e = elevation_range
+                if e is None or (lo_e is not None and e < lo_e) or (
+                        hi_e is not None and e >= hi_e):
+                    return False
+            return True
+
+        return inside
+
+    def stations_in_region(self, lat_range=None, lon_range=None,
+                           elevation_range=None, elevation_lookup=None) -> list:
+        """Target-station names inside a lat/lon box and/or elevation band
+        — the holdout sets behind :meth:`extrapolation_loss`."""
+        inside = self._region_predicate(lat_range, lon_range,
+                                        elevation_range, elevation_lookup)
+        return [name for name, (la, lo_) in
+                self._target_station_coords().items() if inside(la, lo_)]
+
+    def extrapolation_loss(self, dates, *, lat_range=None, lon_range=None,
+                           elevation_range=None, elevation_lookup=None) -> dict:
+        """Spatial-extrapolation holdout — the regime a downscaler actually
+        fails in: EVERY station inside a lat/lon box or elevation band
+        leaves the CONTEXT at once, and skill is scored separately AT those
+        stations (extrapolation) and at the rest (interpolation), from the
+        same prediction pass. ``calculate_loss``'s random-subset holdout
+        measures infill between observed neighbours; the reference probes
+        the harder regime only indirectly via elevation-band violins
+        (``validation_notebook.py:721-778``) — this makes it a protocol.
+        """
+        held = self.stations_in_region(lat_range, lon_range,
+                                       elevation_range, elevation_lookup)
+        if not held:
+            raise ValueError("no target stations inside the holdout region")
+        loss = self.calculate_loss(dates, remove_stations=held)
+        # classify every target slot by ITS OWN coordinates through the
+        # same predicate that chose the holdout (slots and stations both
+        # derive from the target frame's x1/x2)
+        inside = self._region_predicate(lat_range, lon_range,
+                                        elevation_range, elevation_lookup)
+        dp = self.run["data_processor"]
+        xt = loss["xt"]
+        lat = np.asarray(dp.unmap_x1(xt[..., 0]))
+        lon = np.asarray(dp.unmap_x2(xt[..., 1]))
+        in_hold = np.fromiter(
+            (inside(la, lo_) for la, lo_ in
+             zip(lat.ravel(), lon.ravel())),
+            dtype=bool, count=lat.size).reshape(lat.shape)
+        err = np.asarray(loss["errors"])
+        sel = in_hold[..., None] if err.ndim == 3 else in_hold
+
+        def _m(e):
+            any_f = np.isfinite(e).any()
+            return {
+                "rmse": float(np.sqrt(np.nanmean(e**2))) if any_f else np.nan,
+                "mae": float(np.nanmean(np.abs(e))) if any_f else np.nan,
+                "bias": float(np.nanmean(e)) if any_f else np.nan,
+                "n": int(np.isfinite(e).sum()),
+            }
+
+        return {
+            "held_out_stations": held,
+            "extrapolation": _m(np.where(sel, err, np.nan)),
+            "interpolation": _m(np.where(sel, np.nan, err)),
+            "errors": err,
+            "xt": xt,
+            "holdout_mask": in_hold,
+        }
 
     def wet_dry_skill(
         self,
@@ -465,7 +637,7 @@ class Validate:
                 "wet/dry skill needs the bernoulli-gamma head (no P(wet) "
                 f"for likelihood {self.run['model'].cfg.likelihood!r})"
             )
-        obs = self._unnormalise_obs(pred["yt"][..., 0])
+        obs = self._unnormalise_obs(pred["yt"])[..., 0]
         p = pred["p_wet"]
         mask = pred["mask"] & np.isfinite(p) & np.isfinite(obs)
         wet = (obs[mask] > wet_threshold).astype(np.float64)

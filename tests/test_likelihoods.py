@@ -370,3 +370,87 @@ def test_rescale_raw_all_heads():
     raw2 = lik.rescale_raw(raw, s)
     np.testing.assert_allclose(np.asarray(raw2[..., :3]),
                                np.asarray(raw[..., :3]))
+
+
+# --------------------------------------------------------------------------
+# CRPS (proper scoring; Validate.crps builds on these)
+# --------------------------------------------------------------------------
+
+
+def test_crps_gaussian_known_value(rng):
+    """CRPS(N(0,1), 0) = 2φ(0) − 1/√π ≈ 0.23370 (Gneiting & Raftery 2007)."""
+    lik = HeteroscedasticGaussian(dim_y=1)
+    from deepsensornz_tpu.models.likelihoods import _inv_softplus
+
+    raw = np.zeros((1, 1, 2), np.float32)
+    raw[..., 1] = np.asarray(_inv_softplus(jnp.asarray(1.0)))  # sigma = 1
+    got = float(lik.crps(jnp.asarray(raw), jnp.zeros((1, 1, 1)), None)[0, 0, 0])
+    want = 2.0 / np.sqrt(2 * np.pi) - 1.0 / np.sqrt(np.pi)
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_crps_gaussian_closed_form_matches_sampled(rng):
+    """The base class's sampled energy-form estimator converges to the
+    Gaussian closed form."""
+    from deepsensornz_tpu.models.likelihoods import Likelihood
+
+    B, M = 2, 4
+    raw = rng.normal(size=(B, M, 2)).astype(np.float32)
+    y = rng.normal(size=(B, M, 1)).astype(np.float32)
+    lik = HeteroscedasticGaussian(dim_y=1)
+    closed = np.asarray(lik.crps(jnp.asarray(raw), jnp.asarray(y), None))
+    sampled = np.asarray(Likelihood.crps(
+        lik, jnp.asarray(raw), jnp.asarray(y), jax.random.key(0), n=4096))
+    np.testing.assert_allclose(sampled, closed, rtol=0.08, atol=0.02)
+
+
+def test_crps_gnp_marginal(rng):
+    """gnp CRPS uses the low-rank-inclusive marginal std."""
+    R, B, M = 3, 2, 4
+    lik = LowRankGaussian(dim_y=1, rank=R)
+    raw = rng.normal(size=(B, M, lik.num_params())).astype(np.float32) * 0.3
+    y = rng.normal(size=(B, M, 1)).astype(np.float32)
+    got = np.asarray(lik.crps(jnp.asarray(raw), jnp.asarray(y), None))
+    mu, std = (np.asarray(a) for a in lik.mean_std(jnp.asarray(raw)))
+    z = (y - mu) / std
+    want = std * (z * (2 * st.norm.cdf(z) - 1) + 2 * st.norm.pdf(z)
+                  - 1 / np.sqrt(np.pi))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_crps_is_proper_for_gaussian(rng):
+    """A matched predictive scores better (lower expected CRPS) than a
+    biased or overconfident one against the same truth draws."""
+    lik = HeteroscedasticGaussian(dim_y=1)
+    from deepsensornz_tpu.models.likelihoods import _inv_softplus
+
+    n = 4000
+    y = rng.normal(size=(1, n, 1)).astype(np.float32)  # truth ~ N(0, 1)
+
+    def score(mu, sigma):
+        raw = np.zeros((1, n, 2), np.float32)
+        raw[..., 0] = mu
+        raw[..., 1] = float(np.asarray(_inv_softplus(jnp.asarray(sigma))))
+        return float(np.mean(np.asarray(
+            lik.crps(jnp.asarray(raw), jnp.asarray(y), None))))
+
+    s_true = score(0.0, 1.0)
+    assert s_true < score(1.0, 1.0)   # biased mean
+    assert s_true < score(0.0, 0.2)   # overconfident
+    assert s_true < score(0.0, 3.0)   # underconfident
+
+
+def test_crps_sampled_mixed_heads_finite(rng):
+    """Sampled CRPS stays finite and non-negative-in-expectation for the
+    point-mass heads (the estimator is unbiased, so tiny negatives per
+    point are possible; means must be positive)."""
+    B, M = 2, 6
+    for lik, k in ((BernoulliGamma(), 3), (SpikesBeta(), 5)):
+        raw = rng.normal(size=(B, M, k)).astype(np.float32)
+        y = np.abs(rng.normal(size=(B, M, 1))).astype(np.float32)
+        if isinstance(lik, SpikesBeta):
+            y = np.clip(y, 0.0, 1.0)
+        got = np.asarray(lik.crps(jnp.asarray(raw), jnp.asarray(y),
+                                  jax.random.key(1), n=256))
+        assert np.isfinite(got).all()
+        assert float(got.mean()) > 0.0
