@@ -175,12 +175,24 @@ class Predictor:
 
     def __init__(self, model, params, data_processor: DataProcessor,
                  target_var, transfer_dtype: Optional[str] = None,
-                 std_scale: float = 1.0):
+                 std_scale: float = 1.0, batch_chunk: Optional[int] = None,
+                 download_threads: int = 1):
         """``target_var``: the target variable name, or a sequence of
         ``dim_yt`` names for multi-channel models (e.g. wind u+v two-column
         targets — the loader and heads support them; tested in
         ``test_edge_cases.py``). Each channel unnormalises with its own
-        stats entry."""
+        stats entry.
+
+        ``batch_chunk``: split gridded predictions into fixed-size task
+        chunks (one compiled program; tail padded by repetition) — bounds
+        device memory for long runs (a 720-hour month at full internal
+        density cannot sit on one chip as a single batch) and enables
+        compute/download overlap. ``download_threads``: device→host
+        fetches of the chunks run on a thread pool, overlapping downloads
+        with the queued compute AND pipelining round trips over the host
+        link (measured on the v5e relay: a month's downloads run ~3×
+        faster with 4 fetch streams than any single-stream quantized mode,
+        ``perf/operational_bench.py``)."""
         self.model = model
         self.params = params
         self.dp = data_processor
@@ -198,6 +210,8 @@ class Predictor:
         self.likelihood = model.cfg.make_likelihood()
         # halve device→host bytes for remote serving (see _grid_forward_fn)
         self.transfer_dtype = transfer_dtype
+        self.batch_chunk = batch_chunk
+        self.download_threads = int(download_threads)
         # post-hoc uncertainty recalibration fit on validation z-scores
         # (``Train.train_model(recalibrate=...)``); lives in the checkpoint
         # metadata so it travels WITH the model artifact
@@ -282,16 +296,11 @@ class Predictor:
                     f"aux channel mismatch: task has {task.yt_aux.shape[-1]}, "
                     f"grid aux has {aux.shape[-1]}"
                 )
-            aux_grid = jnp.asarray(np.broadcast_to(aux, (task.batch_size,) + aux.shape))
+            aux_grid = aux  # (Ht, Wt, C); broadcast per forward-call batch
 
-        out = self._grid_forward(self.params, task, (xt1, xt2, aux_grid), n_samples,
-                                 jnp.asarray(seed))
         # keep the channel axis: (B, Ht, Wt, dy); dequantize/upcast on host
-        mean = _dequantize_host(out["mean"])
-        std = _dequantize_host(out["std"])
-        samples = (
-            _dequantize_host(out["samples"]) if n_samples > 0 else None
-        )
+        mean, std, samples = self._forward_and_fetch(
+            task, xt1, xt2, aux_grid, n_samples, seed)
 
         if post_transform is not None:
             mean, std = post_transform(mean, std)
@@ -333,6 +342,61 @@ class Predictor:
                     f"samples{suffix}", {},
                 )
         return Prediction(fields)
+
+    def _forward_and_fetch(self, task, xt1, xt2, aux, n_samples: int,
+                           seed: int):
+        """Gridded forward + device→host fetch, chunked when configured.
+
+        With ``batch_chunk`` set and exceeded, the batch splits into
+        fixed-size chunks (tail padded by repeating its last task so every
+        chunk runs the SAME compiled program, pad rows trimmed after);
+        every chunk's forward is dispatched up front — JAX async dispatch
+        queues them on device — and the fetches run on a
+        ``download_threads`` pool, so downloads overlap both the remaining
+        compute and each other (multiple streams over the host link).
+        Joint samples draw per-chunk seeds (``seed + chunk offset``): the
+        sampled fields depend on the chunking, the mean/std do not.
+        """
+        B = task.batch_size
+
+        def brd_aux(b):
+            return (None if aux is None
+                    else jnp.asarray(np.broadcast_to(aux, (b,) + aux.shape)))
+
+        def fetch(out):
+            return (
+                _dequantize_host(out["mean"]),
+                _dequantize_host(out["std"]),
+                _dequantize_host(out["samples"]) if n_samples > 0 else None,
+            )
+
+        chunk = self.batch_chunk
+        if not chunk or B <= chunk:
+            return fetch(self._grid_forward(
+                self.params, task, (xt1, xt2, brd_aux(B)), n_samples,
+                jnp.asarray(seed)))
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        from deepsensornz_tpu.task.batching import take
+
+        aux_c = brd_aux(chunk)
+        outs = []
+        for off in range(0, B, chunk):
+            idx = np.arange(off, min(off + chunk, B))
+            if len(idx) < chunk:
+                idx = np.concatenate(
+                    [idx, np.full(chunk - len(idx), idx[-1], idx.dtype)])
+            outs.append(self._grid_forward(
+                self.params, take(task, idx), (xt1, xt2, aux_c), n_samples,
+                jnp.asarray(seed + off)))
+        with ThreadPoolExecutor(max(self.download_threads, 1)) as ex:
+            got = list(ex.map(fetch, outs))
+        mean = np.concatenate([g[0] for g in got], axis=0)[:B]
+        std = np.concatenate([g[1] for g in got], axis=0)[:B]
+        samples = (np.concatenate([g[2] for g in got], axis=1)[:, :B]
+                   if n_samples > 0 else None)
+        return mean, std, samples
 
     def predict_points(
         self,

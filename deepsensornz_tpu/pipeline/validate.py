@@ -705,12 +705,15 @@ class ValidateERA:
         pred_grid: Optional[Field] = None,
         predictor: Optional[Predictor] = None,
         transfer_dtype: Optional[str] = None,
+        batch_chunk: Optional[int] = None,
+        download_threads: int = 1,
     ):
         """Load from ``model_dir``, or reuse an already-loaded ``run`` (and
         optionally its ``pred_grid``/``predictor`` — the WRF cycle shares
         them instead of re-jitting). ``transfer_dtype`` ("float16") halves
         device→host bytes — the dominant cost of operational serving over a
-        remote host link."""
+        remote host link. ``batch_chunk``/``download_threads`` chunk long
+        gridded runs and overlap their downloads (``Predictor`` docs)."""
         self.run = run or load_run(model_dir)
         self.dem = dem
         if pred_grid is None and dem is None:
@@ -726,6 +729,7 @@ class ValidateERA:
             self.run["task_loader"].target_var_IDs,
             transfer_dtype=transfer_dtype,
             std_scale=self.run.get("std_scale", 1.0),
+            batch_chunk=batch_chunk, download_threads=download_threads,
         )
 
     def predict(

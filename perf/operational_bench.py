@@ -198,8 +198,9 @@ def main(argv=None):
         return wall, mb_m, err_m
 
     results = {}
-    for tdt, nt in [("float16", 1), ("int16", 1), ("int16", 4),
-                    ("int8", 4), (None, 4)]:
+    for tdt, nt in [("float16", 1), ("float16", 4), ("float16", 8),
+                    ("int16", 1), ("int16", 4), ("int8", 4),
+                    (None, 4), (None, 8)]:
         wall, mb_m, err_m = run_mode(tdt, nt)
         key = f"{tdt or 'float32'}_threads{nt}"
         results[key] = {
@@ -209,6 +210,29 @@ def main(argv=None):
         }
         print(json.dumps({"metric": f"month_transfer_{key}",
                           **results[key]}), flush=True)
+
+    # ---- SHIPPED production path (VERDICT r4 item 2) -----------------------
+    # Predictor(batch_chunk, download_threads) — the path cli.infer runs:
+    # one month-long TaskBatch, chunked dispatch (async-queued on device),
+    # thread-pooled fetches overlapping download with compute, full
+    # unnormalise + sea mask + Field assembly included.
+    col = [c for c in stations.columns if c.endswith("_station")][0]
+    for tdt, nthreads in [("float16", 4), (None, 4)]:
+        p = Predictor(model, params, dp, col, transfer_dtype=tdt,
+                      batch_chunk=ns.chunk, download_threads=nthreads)
+        _ = p.predict_grid(task0, dem, aux_at_targets=dem_n)  # warm cache
+        big = tl(list(times))
+        t0 = time.perf_counter()
+        out = p.predict_grid(big, dem, aux_at_targets=dem_n, times=times)
+        wall = time.perf_counter() - t0
+        key = f"{tdt or 'float32'}_chunk{ns.chunk}_threads{nthreads}"
+        finite = float(np.isfinite(out["mean"].data).mean())
+        print(json.dumps({
+            "metric": f"month_production_predict_grid_{key}",
+            "wall_s": round(wall, 2), "hours": ns.hours,
+            "tasks_per_sec": round(ns.hours / wall, 1),
+            "finite_frac": round(finite, 4),
+        }), flush=True)
 
 
 if __name__ == "__main__":

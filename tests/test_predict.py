@@ -206,3 +206,39 @@ def test_std_scale_recalibration(setting):
     m = pa["mask"]
     np.testing.assert_allclose(pb["mean"][m], pa["mean"][m], rtol=1e-6)
     np.testing.assert_allclose(pb["std"][m], 2.0 * pa["std"][m], rtol=1e-5)
+
+
+def test_batch_chunked_predict_matches_unchunked(setting):
+    """batch_chunk + download_threads is a pure execution strategy: the
+    chunked (padded-tail, thread-fetched) month pipeline returns the SAME
+    mean/std as the one-shot forward."""
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    from deepsensornz_tpu.task.loader import TaskLoader  # noqa: F401 (docs)
+
+    # 5 tasks with chunk 2 → chunks [0:2], [2:4], [4:5]+pad
+    import deepsensornz_tpu.task.batching as batching
+
+    tl_task = task
+    big = batching.concat([tl_task, tl_task, batching.take(tl_task, [0])])
+    assert big.batch_size == 5
+    chunked = Predictor(pred.model, pred.params, pred.dp, st_col,
+                        batch_chunk=2, download_threads=3)
+    a = pred.predict_grid(big, dem, aux_at_targets=dem_n)
+    b = chunked.predict_grid(big, dem, aux_at_targets=dem_n)
+    for k in ("mean", "std"):
+        # different batch shapes compile different XLA programs; f32
+        # reduction order may reassociate → tiny per-element drift
+        np.testing.assert_allclose(a[k].data, b[k].data, rtol=1e-4, atol=1e-6)
+
+
+def test_batch_chunked_samples_shape(setting):
+    """Chunked joint samples concatenate on the batch axis (per-chunk
+    seeds — sampled fields legitimately differ from the one-shot draw)."""
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    chunked = Predictor(pred.model, pred.params, pred.dp, st_col,
+                        batch_chunk=1, download_threads=2)
+    out = chunked.predict_grid(task, dem, aux_at_targets=dem_n, n_samples=3)
+    s = out["samples"]
+    assert s.shape == (3, task.batch_size, 48, 48)
+    land = ~np.isnan(dem.data)
+    assert np.isfinite(s.data[:, :, land]).all()
