@@ -101,6 +101,25 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
         wet_dry = v.wet_dry_skill(eval_times, base_field=base,
                                   station_df=stations,
                                   remove_stations=holdout)
+    # proper score of the whole predictive (round-4 Validate.crps)
+    crps = v.crps(eval_times, remove_stations=holdout)
+    # spatial-extrapolation holdout: ALL stations in the southern third of
+    # the latitude span leave the context; skill scored AT them (the regime
+    # a downscaler actually fails in) vs the interpolation remainder
+    lat_lo = float(stations["latitude"].min())
+    lat_hi = float(stations["latitude"].max())
+    cut = lat_lo + (lat_hi - lat_lo) / 3.0
+    try:
+        extrap = v.extrapolation_loss(eval_times,
+                                      lat_range=(lat_lo - 1e-6, cut))
+        extrap_row = {
+            "lat_range": [lat_lo, cut],
+            "n_held_out_stations": len(extrap["held_out_stations"]),
+            "extrapolation": extrap["extrapolation"],
+            "interpolation": extrap["interpolation"],
+        }
+    except ValueError:
+        extrap_row = None
 
     metrics = {
         "config": training.model_config_dict,
@@ -121,6 +140,9 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
         "calibration_gate": Validate.calibration_gate(calib),
         "calibration_gate_pit": Validate.calibration_gate(pit),
     }
+    metrics["crps"] = crps
+    if extrap_row is not None:
+        metrics["extrapolation_holdout"] = extrap_row
     if wet_dry is not None:
         metrics["wet_dry_skill"] = wet_dry
     print(json.dumps(metrics, indent=2), flush=True)
