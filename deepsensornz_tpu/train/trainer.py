@@ -372,6 +372,7 @@ class Trainer:
         best_params = snap(state.params)
         train_losses, val_losses = prev_train, prev_val
         lr = sched.lr   # = lr0 fresh; restored value on resume
+        t_fit = time.time()
         for epoch in range(start_epoch, n_epochs):
             t0 = time.time()
             # per-EPOCH shuffle seed: a resumed run at epoch k draws the same
@@ -418,9 +419,14 @@ class Trainer:
                                   "stopper": stopper.state_dict()},
                     )
             if verbose:
+                # ETA from the mean epoch wall so far (epoch 0 carries the
+                # compile cost, so the first estimate reads high)
+                done = epoch - start_epoch + 1
+                eta = (time.time() - t_fit) / done * (n_epochs - epoch - 1)
                 print(
                     f"epoch {epoch:3d}  train {train_loss:.4f}  val {val_loss:.4f}"
-                    f"  lr {lr_used:.2e}  {time.time()-t0:.1f}s",
+                    f"  lr {lr_used:.2e}  {time.time()-t0:.1f}s"
+                    f"  eta {eta/60.0:.1f}m",
                     flush=True,  # nohup'd TPU runs are block-buffered otherwise
                 )
             if should_stop:
