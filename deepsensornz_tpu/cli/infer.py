@@ -52,9 +52,10 @@ def main(argv=None):
     ap.add_argument("--batch_chunk", type=int, default=24,
                     help="tasks per compiled forward: bounds device memory "
                          "for month-long batches and enables download overlap")
-    ap.add_argument("--download_threads", type=int, default=4,
+    ap.add_argument("--download_threads", type=int, default=8,
                     help="parallel device->host fetch streams (overlap "
-                         "downloads with compute; ~3x on a remote host link)")
+                         "downloads with compute; f16 month download scales "
+                         "22.7s/13.9s/8.2s at 1/4/8 streams on the v5e relay)")
     ns = ap.parse_args(argv)
 
     from deepsensornz_tpu.data.sources.era5 import ERA5Source

@@ -380,6 +380,12 @@ class Predictor:
 
         from deepsensornz_tpu.task.batching import take
 
+        # upload the WHOLE batch once and slice chunks ON DEVICE: per-chunk
+        # host→device uploads cost one transfer per pytree leaf per chunk
+        # (~20 round trips each over a remote host link — measured to
+        # dominate a month's wall); one bulk device_put replaces them all
+        # and take() on device arrays is a free gather
+        task = jax.device_put(task)
         aux_c = brd_aux(chunk)
         outs = []
         for off in range(0, B, chunk):

@@ -26,6 +26,10 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=24)
     ap.add_argument("--stations", type=int, default=619)
     ap.add_argument("--density", type=int, default=500)
+    ap.add_argument("--production_only", action="store_true",
+                    help="skip the naive/device-resident/transfer-mode "
+                         "sections; measure only the shipped predict_grid "
+                         "path (fast rerun)")
     ns = ap.parse_args(argv)
 
     import jax
@@ -67,45 +71,76 @@ def main(argv=None):
     _ = predictor.predict_grid(task0, dem, aux_at_targets=dem_n)
     print(f"compile+first chunk {time.perf_counter()-t0:.1f}s", flush=True)
 
-    t_pack = t_dev = 0.0
-    out_dir = tempfile.mkdtemp()
-    preds = []
-    t_month = time.perf_counter()
-    for s in range(0, ns.hours, ns.chunk):
-        tp = time.perf_counter()
-        task = tl(list(times[s: s + ns.chunk]))
-        t_pack += time.perf_counter() - tp
-        td = time.perf_counter()
-        pred = predictor.predict_grid(task, dem, aux_at_targets=dem_n,
-                                      times=times[s: s + ns.chunk])
-        t_dev += time.perf_counter() - td
-        preds.append(pred)
-    t_write0 = time.perf_counter()
-    save_prediction(preds[0], os.path.join(out_dir, "month_first_chunk.nc"),
-                    "temperature", "bench", mean_only=True)
-    t_write = time.perf_counter() - t_write0
-    total = time.perf_counter() - t_month
-    print(json.dumps({
-        "metric": "month_hourly_inference_wall",
-        "hours": ns.hours,
-        "value": round(total, 2),
-        "unit": "s",
-        "pack_s": round(t_pack, 2),
-        "device_s": round(t_dev, 2),
-        "write_one_chunk_s": round(t_write, 2),
-        "tasks_per_sec": round(ns.hours / total, 1),
-        # NOTE: through a remote-device tunnel, device_s is dominated by
-        # downloading the full mean/std maps (~14 MB/chunk); on a real TPU
-        # host this is PCIe-speed and the cycle bench (bench.py) reflects
-        # the compute latency.
-    }), flush=True)
+    if not ns.production_only:
+        t_pack = t_dev = 0.0
+        out_dir = tempfile.mkdtemp()
+        preds = []
+        t_month = time.perf_counter()
+        for s in range(0, ns.hours, ns.chunk):
+            tp = time.perf_counter()
+            task = tl(list(times[s: s + ns.chunk]))
+            t_pack += time.perf_counter() - tp
+            td = time.perf_counter()
+            pred = predictor.predict_grid(task, dem, aux_at_targets=dem_n,
+                                          times=times[s: s + ns.chunk])
+            t_dev += time.perf_counter() - td
+            preds.append(pred)
+        t_write0 = time.perf_counter()
+        save_prediction(preds[0], os.path.join(out_dir, "month_first_chunk.nc"),
+                        "temperature", "bench", mean_only=True)
+        t_write = time.perf_counter() - t_write0
+        total = time.perf_counter() - t_month
+        print(json.dumps({
+            "metric": "month_hourly_inference_wall",
+            "hours": ns.hours,
+            "value": round(total, 2),
+            "unit": "s",
+            "pack_s": round(t_pack, 2),
+            "device_s": round(t_dev, 2),
+            "write_one_chunk_s": round(t_write, 2),
+            "tasks_per_sec": round(ns.hours / total, 1),
+            # NOTE: through a remote-device tunnel, device_s is dominated by
+            # downloading the full mean/std maps (~14 MB/chunk); on a real TPU
+            # host this is PCIe-speed and the cycle bench (bench.py) reflects
+            # the compute latency.
+        }), flush=True)
 
+    if not ns.production_only:
+        _diagnostic_sections(ns, tl, times, dem, dem_n, dp, model, params)
+
+    # ---- SHIPPED production path (VERDICT r4 item 2) -----------------------
+    # Predictor(batch_chunk, download_threads) — the path cli.infer runs:
+    # one month-long TaskBatch, chunked dispatch (async-queued on device),
+    # thread-pooled fetches overlapping download with compute, full
+    # unnormalise + sea mask + Field assembly included.
+    col = [c for c in stations.columns if c.endswith("_station")][0]
+    for tdt, nthreads in [("float16", 8), ("int8", 8), (None, 4)]:
+        p = Predictor(model, params, dp, col, transfer_dtype=tdt,
+                      batch_chunk=ns.chunk, download_threads=nthreads)
+        _ = p.predict_grid(task0, dem, aux_at_targets=dem_n)  # warm cache
+        big = tl(list(times))
+        t0 = time.perf_counter()
+        out = p.predict_grid(big, dem, aux_at_targets=dem_n, times=times)
+        wall = time.perf_counter() - t0
+        key = f"{tdt or 'float32'}_chunk{ns.chunk}_threads{nthreads}"
+        finite = float(np.isfinite(out["mean"].data).mean())
+        print(json.dumps({
+            "metric": f"month_production_predict_grid_{key}",
+            "wall_s": round(wall, 2), "hours": ns.hours,
+            "tasks_per_sec": round(ns.hours / wall, 1),
+            "finite_frac": round(finite, 4),
+        }), flush=True)
+
+
+def _diagnostic_sections(ns, tl, times, dem, dem_n, dp, model, params):
+    """Device-resident split + raw transfer-mode sweep (diagnostic legs)."""
     # ---- device-resident month batching (VERDICT round-1 #10) -------------
     # The naive loop above interleaves host transfers with compute, so
     # through a tunnel it measures the wire. Production shape: pack every
     # chunk on host, upload ONCE, run all chunks back-to-back on device
     # (outputs stay device-resident), sync on a checksum scalar, download
     # ONCE. Reports the honest pack / upload / compute / download split.
+    import jax
     import jax.numpy as jnp
 
     from deepsensornz_tpu.infer.predict import _grid_forward_fn
@@ -210,29 +245,6 @@ def main(argv=None):
         }
         print(json.dumps({"metric": f"month_transfer_{key}",
                           **results[key]}), flush=True)
-
-    # ---- SHIPPED production path (VERDICT r4 item 2) -----------------------
-    # Predictor(batch_chunk, download_threads) — the path cli.infer runs:
-    # one month-long TaskBatch, chunked dispatch (async-queued on device),
-    # thread-pooled fetches overlapping download with compute, full
-    # unnormalise + sea mask + Field assembly included.
-    col = [c for c in stations.columns if c.endswith("_station")][0]
-    for tdt, nthreads in [("float16", 4), (None, 4)]:
-        p = Predictor(model, params, dp, col, transfer_dtype=tdt,
-                      batch_chunk=ns.chunk, download_threads=nthreads)
-        _ = p.predict_grid(task0, dem, aux_at_targets=dem_n)  # warm cache
-        big = tl(list(times))
-        t0 = time.perf_counter()
-        out = p.predict_grid(big, dem, aux_at_targets=dem_n, times=times)
-        wall = time.perf_counter() - t0
-        key = f"{tdt or 'float32'}_chunk{ns.chunk}_threads{nthreads}"
-        finite = float(np.isfinite(out["mean"].data).mean())
-        print(json.dumps({
-            "metric": f"month_production_predict_grid_{key}",
-            "wall_s": round(wall, 2), "hours": ns.hours,
-            "tasks_per_sec": round(ns.hours / wall, 1),
-            "finite_frac": round(finite, 4),
-        }), flush=True)
 
 
 if __name__ == "__main__":
