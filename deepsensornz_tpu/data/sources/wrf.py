@@ -104,27 +104,48 @@ class WRFSource:
         Files that fail to open are reported (path list in the exception)
         rather than silently breaking the whole cycle (``wrf.py:145-152``).
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         shorts = {v: cfg.VAR_WRF[v]["var_name"] for v in variables}
-        per_var: dict[str, list] = {v: [] for v in variables}
-        times, bad = [], []
-        lat2d = lon2d = None
-        for path in filepaths:
+
+        def one(path):
+            """(path, time, per-var arrays, lat2d, lon2d) or (path, None…)."""
             try:
                 ds = open_dataset(path)
             except Exception:
-                bad.append(path)
-                continue
-            times.append(self.parse_valid_time(path))
+                return path, None, None, None, None
+            cols = {}
             for v, s in shorts.items():
                 if s not in ds:
                     raise KeyError(f"variable {s} missing from {path}")
-                per_var[v].append(np.squeeze(ds[s].data))
+                cols[v] = np.squeeze(ds[s].data)
+            la = lo = None
             for latname in ("XLAT", "latitude", "lat"):
                 if latname in ds:
-                    lat2d = np.squeeze(ds[latname].data)
+                    la = np.squeeze(ds[latname].data)
             for lonname in ("XLONG", "longitude", "lon"):
                 if lonname in ds:
-                    lon2d = np.squeeze(ds[lonname].data)
+                    lo = np.squeeze(ds[lonname].data)
+            return path, self.parse_valid_time(path), cols, la, lo
+
+        # hourly member files are independent; read them on a thread pool
+        # (h5py releases the GIL per read — same pattern as StationSource;
+        # reference role: dask open_mfdataset(parallel=True), wrf.py:141)
+        with ThreadPoolExecutor(min(8, max(1, len(filepaths)))) as ex:
+            loaded = list(ex.map(one, filepaths))
+
+        per_var: dict[str, list] = {v: [] for v in variables}
+        times, bad = [], []
+        lat2d = lon2d = None
+        for path, t_valid, cols, la, lo in loaded:
+            if t_valid is None:
+                bad.append(path)
+                continue
+            times.append(t_valid)
+            for v in shorts:
+                per_var[v].append(cols[v])
+            lat2d = la if la is not None else lat2d
+            lon2d = lo if lo is not None else lon2d
         if bad:
             raise IOError(f"unreadable WRF files: {bad}")
         if lat2d is None or lon2d is None:

@@ -12,9 +12,13 @@ def take(task: TaskBatch, idx) -> TaskBatch:
     """Select a sub-batch by integer index array along the batch dim.
 
     Structure-aware: grid/internal coordinate vectors (not batched) are
-    left untouched.
+    left untouched. jit-safe: traced ``idx`` passes through untouched, so
+    ``jax.jit(take)`` compiles ONE gather program — on a remote-device
+    backend the eager per-leaf ``y[idx]`` ops each cost a relay round
+    trip, which dominates chunked month serving (measured ~2 s/chunk).
     """
-    idx = np.asarray(idx)
+    if not isinstance(idx, jax.Array):
+        idx = np.asarray(idx)
 
     def g(gc: GridContext) -> GridContext:
         return GridContext(
