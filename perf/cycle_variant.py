@@ -54,11 +54,49 @@ def main(**overrides):
         float(np.asarray(cycle(params, task, target_grid)))
         reps.append(time.perf_counter() - t0)
     p50 = float(np.median(reps))
+
+    # in-graph compute time (MICROBENCH RULE): K cycles inside ONE jitted
+    # fori_loop with a scalar-carry data dependency through every float
+    # task leaf (defeats CSE/DCE *and* loop-invariant hoisting of the
+    # U-Net), minus a K=0 control — resolves deltas far below the ~30 ms
+    # relay round trip that dominates the per-call p50 above.
+    K = 8
+
+    def loop(k):
+        @jax.jit
+        def run(params, task, target_grid):
+            def it(_, carry):
+                s, tk = carry
+                s = s + cycle(params, tk, target_grid)
+                tk = jax.tree.map(
+                    lambda a: a + (s * 1e-30).astype(a.dtype)
+                    if jnp.issubdtype(a.dtype, jnp.floating) else a, tk)
+                return s, tk
+
+            s, _ = jax.lax.fori_loop(0, k, it, (jnp.float32(0.0), task))
+            return s
+
+        return run
+
+    fK, f0 = loop(K), loop(0)
+    float(np.asarray(fK(params, task, target_grid)))  # compile
+    float(np.asarray(f0(params, task, target_grid)))
+    cts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(fK(params, task, target_grid)))
+        tK = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(np.asarray(f0(params, task, target_grid)))
+        cts.append((tK - (time.perf_counter() - t0)) / K)
+    compute_s = float(np.median(cts))
+
     print(json.dumps({
         "metric": "cycle_variant_p50",
         "overrides": {k: str(v) for k, v in overrides.items()},
         "internal_density": density,
         "value": round(p50, 4),
+        "compute_s": round(compute_s, 4),
         "unit": "s",
     }), flush=True)
     return p50
