@@ -45,10 +45,11 @@ def main(argv=None):
     ap.add_argument("--out_dir", default="outputs")
     ap.add_argument("--highres_factor", type=int, default=10)
     ap.add_argument("--remove_stations", nargs="*", default=DEFAULT_HOLDOUT_STATIONS)
-    ap.add_argument("--transfer_dtype", default="float16",
+    ap.add_argument("--transfer_dtype", default="int16",
                     help="device->host dtype for prediction maps "
-                         "('float16' halves the transfer; 'none' = float32; "
-                         "'int16' same bytes as float16 but ~50x less error)")
+                         "('int16' default: halves the transfer at ~50x less "
+                         "error than float16 — max-abs 9e-06 vs 4.9e-04 on a "
+                         "720 h month; 'float16'; 'int8' 4x; 'none' = float32)")
     ap.add_argument("--batch_chunk", type=int, default=24,
                     help="tasks per compiled forward: bounds device memory "
                          "for month-long batches and enables download overlap")
