@@ -30,19 +30,23 @@ class PredictService:
     """Wraps a trained run for request-driven gridded prediction."""
 
     def __init__(self, model_dir: str, dem, highres_factor: int = 10,
-                 transfer_dtype: str | None = "float16"):
+                 transfer_dtype: str | None = "int16",
+                 batch_chunk: int | None = 24, download_threads: int = 8):
         from deepsensornz_tpu.pipeline.validate import load_run
         from deepsensornz_tpu.infer.predict import Predictor
 
         self.run = load_run(model_dir)
         self.dem = dem
         self.pred_grid = dem.coarsen(highres_factor)
-        # serving default: halve the device→host bytes (the dominant cost
-        # when the accelerator is remote; docs/results/operational_month_r2.json)
+        # serving defaults: int16 halves the device→host bytes at ~50× less
+        # error than f16 (the transfer dominates when the accelerator is
+        # remote), and long requests run chunked with multi-stream fetches
+        # overlapping compute (docs/results/operational_month_r4.json)
         self.predictor = Predictor(
             self.run["model"], self.run["params"], self.run["data_processor"],
             self.run["task_loader"].target_var_IDs,
             transfer_dtype=transfer_dtype,
+            batch_chunk=batch_chunk, download_threads=download_threads,
             # serve the shipped recalibration: without it every /predict
             # response would report the raw (miscalibrated) spread
             std_scale=self.run.get("std_scale", 1.0),
