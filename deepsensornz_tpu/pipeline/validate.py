@@ -363,6 +363,10 @@ class Validate:
         errs = base - obs
         return {
             "rmse": float(np.sqrt(np.mean(errs**2))) if len(errs) else np.nan,
+            # mae doubles as the base's CRPS: a deterministic forecast's
+            # CRPS reduces to |err|, so Validate.crps vs this mae is the
+            # proper-score comparison against the base-copy baseline
+            "mae": float(np.mean(np.abs(errs))) if len(errs) else np.nan,
             "bias": float(np.mean(errs)) if len(errs) else np.nan,
             "n": len(errs),
         }

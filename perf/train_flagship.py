@@ -141,6 +141,10 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
         "calibration_gate_pit": Validate.calibration_gate(pit),
     }
     metrics["crps"] = crps
+    # a deterministic forecast's CRPS is its MAE — the base-copy baseline's
+    # proper score to beat (calculate_loss_base gained "mae" in round 4)
+    if "mae" in baseline:
+        metrics["crps"]["baseline_crps_det_mae"] = round(baseline["mae"], 5)
     if extrap_row is not None:
         metrics["extrapolation_holdout"] = extrap_row
     if wet_dry is not None:
