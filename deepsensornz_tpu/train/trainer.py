@@ -113,6 +113,18 @@ def make_train_step(
     EXACTLY at init, so the model's physical smoothing scale was silently
     init-determined. A multiplier of ~100 gives them a usable step size
     without touching the rest of the net."""
+    # lane_pack="auto" means "packed exactly where measured to win" — and
+    # the fwd+bwd train step is measured to LOSE with the packed domain
+    # (80.4/82.5 vs 83.8/85.9 tasks/s at batch 8/16 on v5e, remat on: the
+    # pack/unpack boundaries interact with rematerialisation), while the
+    # forward-only serving path wins (cycle 0.1291→0.1251 s). So auto
+    # resolves to unpacked HERE and packed in the Predictor. Activation-
+    # level packing is exact, so params/losses are bit-identical either
+    # way; an EXPLICIT lane_pack="domain"/True is honored unchanged.
+    if getattr(getattr(model, "cfg", None), "lane_pack", None) == "auto":
+        import dataclasses
+
+        model = type(model)(dataclasses.replace(model.cfg, lane_pack=False))
     opt = _adamw_core(weight_decay)
 
     def step(state: TrainState, task: TaskBatch, lr,
