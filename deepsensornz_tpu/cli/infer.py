@@ -57,6 +57,15 @@ def main(argv=None):
                     help="parallel device->host fetch streams (overlap "
                          "downloads with compute; f16 month download scales "
                          "22.7s/13.9s/8.2s at 1/4/8 streams on the v5e relay)")
+    ap.add_argument("--upload_dtype", default="float16",
+                    help="host->device dtype for task VALUE leaves "
+                         "(coordinates stay float32; on-device compute is "
+                         "float32 either way). 'float16' halves the month "
+                         "upload; 'none' = float32")
+    ap.add_argument("--fetch_std", action="store_true",
+                    help="also download the std maps. The written product "
+                         "is mean-only (reference parity, infer.py:93-112), "
+                         "so the default skips the std download entirely")
     ns = ap.parse_args(argv)
 
     from deepsensornz_tpu.data.sources.era5 import ERA5Source
@@ -70,9 +79,11 @@ def main(argv=None):
     )
     dem = topography_from_paths(paths).load()
     tdt = None if ns.transfer_dtype in ("none", "") else ns.transfer_dtype
+    udt = None if ns.upload_dtype in ("none", "") else ns.upload_dtype
     validate = ValidateERA(model_dir, dem, highres_factor=ns.highres_factor,
                            transfer_dtype=tdt, batch_chunk=ns.batch_chunk,
-                           download_threads=ns.download_threads)
+                           download_threads=ns.download_threads,
+                           upload_dtype=udt)
     era5 = ERA5Source(paths["era5"]["parent"])
     stations = StationSource(paths["stations"]["parent"])
 
@@ -94,6 +105,7 @@ def main(argv=None):
         pred = validate.predict(
             hours, {ns.var: base}, station_df=sdf,
             remove_stations=ns.remove_stations,
+            outputs=("mean", "std") if ns.fetch_std else ("mean",),
         )
         save_prediction(
             pred, out_path, ns.var, ns.model_name, mean_only=True,

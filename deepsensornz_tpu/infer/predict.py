@@ -111,8 +111,66 @@ def _dequantize_host(d, out_dtype=np.float64) -> np.ndarray:
             + np.asarray(d["lo"], np.float32)).astype(out_dtype)
 
 
+def _upcast_f32(task):
+    """Upcast any compressed (float16) task leaves back to float32 — a
+    no-op for float32 input, so one compiled program serves both upload
+    modes per shape signature. On-device numerics are identical either
+    way; only the wire format differs."""
+
+    def up(x):
+        if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != jnp.float32:
+            return x.astype(jnp.float32)
+        return x
+
+    return jax.tree.map(up, task)
+
+
+def _prepare_grid_task(task: TaskBatch, upload_dtype: Optional[str]):
+    """Shrink the host→device upload of a gridded-prediction TaskBatch.
+
+    (a) Target-side leaves (``xt``/``yt``/``yt_mask``/``yt_aux``) are UNUSED
+        when a ``target_grid`` is supplied — the model reads only the
+        context sets and the internal grid — so they are replaced with
+        minimal placeholders before upload. Exact; drops ~12 % of a month
+        TaskBatch's bytes (the operational month is wire-bound over a
+        remote host link, ``docs/results/operational_month_r4.json``).
+    (b) With ``upload_dtype`` set (e.g. "float16"), VALUE leaves (gridded
+        context ``y``, point ``y`` and masks — masks are {0,1}, exactly
+        representable) are cast on host: 2× fewer upload bytes. The jitted
+        forward upcasts to float32 before compute, so the only error is
+        the input rounding (~5e-4 of a normalised value — measured output
+        deviation documented in the operational-month artifact).
+        COORDINATE leaves stay float32: a float16 ulp at 1.0 is ~half a
+        d500 internal-grid cell.
+    """
+    from deepsensornz_tpu.task.task import GridContext, PointContext
+
+    B = task.batch_size
+    task = task.replace(
+        xt=jnp.zeros((B, 1, 2), jnp.float32), yt=None,
+        yt_mask=jnp.zeros((B, 1), jnp.float32), yt_aux=None,
+    )
+    if not upload_dtype:
+        return task
+    dt = jnp.dtype(upload_dtype)
+
+    def g(gc: GridContext) -> GridContext:
+        return GridContext(
+            x1=gc.x1, x2=gc.x2, y=gc.y.astype(dt),
+            mask=None if gc.mask is None else gc.mask.astype(dt),
+        )
+
+    def p(pc: PointContext) -> PointContext:
+        return PointContext(x=pc.x, y=pc.y.astype(dt),
+                            mask=pc.mask.astype(dt))
+
+    return task.replace(grids=tuple(g(x) for x in task.grids),
+                        points=tuple(p(x) for x in task.points))
+
+
 @functools.lru_cache(maxsize=64)
-def _grid_forward_fn(model, n_samples: int, transfer_dtype: Optional[str] = None):
+def _grid_forward_fn(model, n_samples: int, transfer_dtype: Optional[str] = None,
+                     outputs: tuple = ("mean", "std")):
     """Jitted gridded forward, shared across Predictor instances of the
     same (hashable) model — a fresh Predictor never recompiles.
 
@@ -126,6 +184,11 @@ def _grid_forward_fn(model, n_samples: int, transfer_dtype: Optional[str] = None
     - "int16"/"int8": IN-graph affine quantization with per-(task, channel)
       scale/offset over the map (2×/4× fewer bytes; int16 is MORE accurate
       than f16 — uniform 1/65535-of-range steps vs f16's coarse tail).
+
+    ``outputs`` selects which moment maps come back: the reference's
+    operational product keeps ONLY the mean (``outputs/infer.py:93-112``
+    strips to the ``mean`` var before writing), so ``("mean",)`` halves
+    the download of a mean+std month.
     """
     lik = model.cfg.make_likelihood()
     qbits = _QUANT_BITS.get(transfer_dtype or "")
@@ -134,14 +197,15 @@ def _grid_forward_fn(model, n_samples: int, transfer_dtype: Optional[str] = None
 
     @jax.jit
     def fn(params, task, target_grid, seed, std_scale):
-        raw = model.apply(params, task, target_grid=target_grid)
+        raw = model.apply(params, _upcast_f32(task), target_grid=target_grid)
         # post-hoc recalibration (traced): reparameterise the head so the
         # predictive spread scales by std_scale around an unchanged mean —
         # exact for every head incl. the mixed ones' point masses (fit on
         # validation and stored in the checkpoint metadata ``std_scale``)
         raw = lik.rescale_raw(raw, std_scale)
         mean, std = lik.mean_std(raw)
-        out = {"mean": mean, "std": std}
+        out = {k: v for k, v in (("mean", mean), ("std", std))
+               if k in outputs}
         if n_samples > 0:
             # flatten grid → (B, Ht*Wt, K) so the head's joint sampler applies
             B, Ht, Wt, K = raw.shape
@@ -181,7 +245,8 @@ class Predictor:
     def __init__(self, model, params, data_processor: DataProcessor,
                  target_var, transfer_dtype: Optional[str] = None,
                  std_scale: float = 1.0, batch_chunk: Optional[int] = None,
-                 download_threads: int = 1):
+                 download_threads: int = 1,
+                 upload_dtype: Optional[str] = None):
         """``target_var``: the target variable name, or a sequence of
         ``dim_yt`` names for multi-channel models (e.g. wind u+v two-column
         targets — the loader and heads support them; tested in
@@ -197,7 +262,12 @@ class Predictor:
         with the queued compute AND pipelining round trips over the host
         link (measured on the v5e relay: a month's downloads run ~3×
         faster with 4 fetch streams than any single-stream quantized mode,
-        ``perf/operational_bench.py``)."""
+        ``perf/operational_bench.py``).
+
+        ``upload_dtype``: compress the gridded-prediction TaskBatch's VALUE
+        leaves on host before upload (see :func:`_prepare_grid_task`) —
+        the upstream half of the wire bound. Input-side rounding only;
+        on-device compute stays float32."""
         self.model = model
         self.params = params
         self.dp = data_processor
@@ -215,6 +285,7 @@ class Predictor:
         self.likelihood = model.cfg.make_likelihood()
         # halve device→host bytes for remote serving (see _grid_forward_fn)
         self.transfer_dtype = transfer_dtype
+        self.upload_dtype = upload_dtype
         self.batch_chunk = batch_chunk
         self.download_threads = int(download_threads)
         # post-hoc uncertainty recalibration fit on validation z-scores
@@ -224,8 +295,10 @@ class Predictor:
 
     # -- jitted cores --------------------------------------------------------
 
-    def _grid_forward(self, params, task, target_grid, n_samples: int, seed=0):
-        return _grid_forward_fn(self.model, n_samples, self.transfer_dtype)(
+    def _grid_forward(self, params, task, target_grid, n_samples: int, seed=0,
+                      outputs: tuple = ("mean", "std")):
+        return _grid_forward_fn(self.model, n_samples, self.transfer_dtype,
+                                outputs)(
             params, task, target_grid, jnp.asarray(seed),
             jnp.asarray(self.std_scale, jnp.float32),
         )
@@ -248,6 +321,7 @@ class Predictor:
         unnormalise: bool = True,
         post_transform=None,
         resolution_factor: float = 1.0,
+        outputs: tuple = ("mean", "std"),
     ) -> Prediction:
         """Predict on the grid of ``target_elev`` (a DEM Field in RAW
         latitude/longitude coords, used as grid spec + sea mask; NaNs = sea).
@@ -261,7 +335,15 @@ class Predictor:
         ``post_transform(samples, None)`` — it must accept ``std=None``
         (apply the mean map, return the second element unchanged), as
         ``pipeline.validate.humidity_post_transform`` does.
+
+        ``outputs``: which moment maps to fetch — ``("mean", "std")``
+        (default) or ``("mean",)``. The reference's operational product
+        writes only the mean (``outputs/infer.py:93-112``); fetching
+        mean-only halves a month's download on a wire-bound link.
         """
+        if "mean" not in outputs or not set(outputs) <= {"mean", "std"}:
+            raise ValueError(f"outputs must be ('mean','std') or ('mean',); "
+                             f"got {outputs}")
         lat = target_elev.coords[target_elev.dims[-2]]
         lon = target_elev.coords[target_elev.dims[-1]]
         if resolution_factor != 1.0:
@@ -305,7 +387,7 @@ class Predictor:
 
         # keep the channel axis: (B, Ht, Wt, dy); dequantize/upcast on host
         mean, std, samples = self._forward_and_fetch(
-            task, xt1, xt2, aux_grid, n_samples, seed)
+            task, xt1, xt2, aux_grid, n_samples, seed, outputs)
 
         if post_transform is not None:
             mean, std = post_transform(mean, std)
@@ -315,14 +397,16 @@ class Predictor:
         if unnormalise:
             scale, offset = self._affines()   # per-channel vectors (dy,)
             mean = mean * scale + offset
-            std = std * np.abs(scale)
+            if std is not None:
+                std = std * np.abs(scale)
             if samples is not None:
                 samples = samples * scale + offset
 
         if sea_mask:
             sea = np.isnan(target_elev.data)[..., None]
             mean = np.where(sea, np.nan, mean)
-            std = np.where(sea, np.nan, std)
+            if std is not None:
+                std = np.where(sea, np.nan, std)
             if samples is not None:
                 samples = np.where(sea, np.nan, samples)
 
@@ -337,9 +421,10 @@ class Predictor:
             fields[f"mean{suffix}"] = Field(
                 mean[..., c].astype(np.float32), dims, coords, f"mean{suffix}",
                 {"variable": var})
-            fields[f"std{suffix}"] = Field(
-                std[..., c].astype(np.float32), dims, coords, f"std{suffix}",
-                {"variable": var})
+            if std is not None:
+                fields[f"std{suffix}"] = Field(
+                    std[..., c].astype(np.float32), dims, coords,
+                    f"std{suffix}", {"variable": var})
             if samples is not None:
                 fields[f"samples{suffix}"] = Field(
                     samples[..., c].astype(np.float32), ("sample",) + dims,
@@ -349,7 +434,7 @@ class Predictor:
         return Prediction(fields)
 
     def _forward_and_fetch(self, task, xt1, xt2, aux, n_samples: int,
-                           seed: int):
+                           seed: int, outputs: tuple = ("mean", "std")):
         """Gridded forward + device→host fetch, chunked when configured.
 
         With ``batch_chunk`` set and exceeded, the batch splits into
@@ -363,6 +448,9 @@ class Predictor:
         sampled fields depend on the chunking, the mean/std do not.
         """
         B = task.batch_size
+        # upload shaping: drop target-side leaves (unused on the grid path,
+        # exact) + optional value compression — see _prepare_grid_task
+        task = _prepare_grid_task(task, self.upload_dtype)
 
         def brd_aux(b):
             return (None if aux is None
@@ -371,7 +459,7 @@ class Predictor:
         def fetch(out):
             return (
                 _dequantize_host(out["mean"]),
-                _dequantize_host(out["std"]),
+                _dequantize_host(out["std"]) if "std" in out else None,
                 _dequantize_host(out["samples"]) if n_samples > 0 else None,
             )
 
@@ -379,7 +467,7 @@ class Predictor:
         if not chunk or B <= chunk:
             return fetch(self._grid_forward(
                 self.params, task, (xt1, xt2, brd_aux(B)), n_samples,
-                jnp.asarray(seed)))
+                jnp.asarray(seed), outputs))
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -403,11 +491,12 @@ class Predictor:
                         [idx, np.full(chunk - len(idx), idx[-1], idx.dtype)])
                 out = self._grid_forward(
                     self.params, _take_device(task, idx), (xt1, xt2, aux_c),
-                    n_samples, jnp.asarray(seed + off))
+                    n_samples, jnp.asarray(seed + off), outputs)
                 futures.append(ex.submit(fetch, out))
             got = [f.result() for f in futures]
         mean = np.concatenate([g[0] for g in got], axis=0)[:B]
-        std = np.concatenate([g[1] for g in got], axis=0)[:B]
+        std = (np.concatenate([g[1] for g in got], axis=0)[:B]
+               if "std" in outputs else None)
         samples = (np.concatenate([g[2] for g in got], axis=1)[:, :B]
                    if n_samples > 0 else None)
         return mean, std, samples

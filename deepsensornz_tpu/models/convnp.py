@@ -101,14 +101,20 @@ class ConvNPConfig:
     # flagship: holdout 0.81 °C vs 3.18 °C unanchored) — and 0.0 for the
     # per-point heads, which do not decouple. Set 0.0 explicitly to disable.
     mean_anchor: Optional[float] = None
-    # Hoist the head's FIRST linear layer through the gridded decode when
-    # the internal grid is SMALLER than the target grid (low-density
-    # serving): the decode is linear in the U-Net features (its weight
+    # Hoist the head's FIRST linear layer through the gridded decode when it
+    # pays: the decode is linear in the U-Net features (its weight
     # normaliser depends only on coordinates), so
-    # decode(f) @ W ≡ decode(f @ W) — applying W on the internal grid does
-    # the matmul at Hg·Wg points instead of Ht·Wt (≈2.8× fewer at the d120
-    # operating point), algebraically exact (VERDICT r3 weak item 6; the
-    # aux-channel slice of W is applied at targets, where aux lives).
+    # decode(f) @ W ≡ decode(f @ W) — algebraically exact (VERDICT r3 weak
+    # item 6; the aux-channel slice of W is applied at targets, where aux
+    # lives). MEASURED GATE (r4, v5e): hoisting engages only when the first
+    # layer NARROWS what the decode moves (first_feats < decoder_channels)
+    # AND the internal grid is smaller than the target grid. When widths
+    # are equal (flagship head: mlp_hidden 64 == decoder_channels 64) the
+    # decode cost is unchanged and the extra grid-side matmul makes the
+    # hoist a slight net loss (d120 in-graph cycle 15.9 ms hoisted vs
+    # 15.2 ms not, perf/cycle_variant.py) — so it stays off there. It wins
+    # structurally for mlp_layers=0 heads (cnp decodes 2 channels instead
+    # of 64).
     hoist_head: bool = True
     # Physical (normalised-coordinate) SetConv length-scale at init.
     # None = 2/internal_density + the half-grid-spacing floor (the shipped
@@ -276,6 +282,9 @@ class ConvNP(nn.Module):
         hoist = (
             cfg.hoist_head and target_grid is not None and not cfg.use_pallas
             and f.shape[1] * f.shape[2] < xt1.shape[0] * xt2.shape[0]
+            # only when the first layer NARROWS the decode: equal-width
+            # hoisting measured a net loss (see hoist_head field note)
+            and first_feats < cfg.decoder_channels
         )
         if hoist:
             # decode(f) @ W ≡ decode(f @ W): first-layer matmul on the

@@ -711,13 +711,15 @@ class ValidateERA:
         transfer_dtype: Optional[str] = None,
         batch_chunk: Optional[int] = None,
         download_threads: int = 1,
+        upload_dtype: Optional[str] = None,
     ):
         """Load from ``model_dir``, or reuse an already-loaded ``run`` (and
         optionally its ``pred_grid``/``predictor`` — the WRF cycle shares
         them instead of re-jitting). ``transfer_dtype`` ("float16") halves
         device→host bytes — the dominant cost of operational serving over a
         remote host link. ``batch_chunk``/``download_threads`` chunk long
-        gridded runs and overlap their downloads (``Predictor`` docs)."""
+        gridded runs and overlap their downloads; ``upload_dtype``
+        compresses the host→device task upload (``Predictor`` docs)."""
         self.run = run or load_run(model_dir)
         self.dem = dem
         if pred_grid is None and dem is None:
@@ -734,6 +736,7 @@ class ValidateERA:
             transfer_dtype=transfer_dtype,
             std_scale=self.run.get("std_scale", 1.0),
             batch_chunk=batch_chunk, download_threads=download_threads,
+            upload_dtype=upload_dtype,
         )
 
     def predict(
@@ -744,6 +747,7 @@ class ValidateERA:
         remove_stations: Sequence[str] = (),
         context_sampling=None,
         n_samples: int = 0,
+        outputs: tuple = ("mean", "std"),
     ):
         """Predict the requested timestamps on the DEM grid.
 
@@ -819,7 +823,7 @@ class ValidateERA:
         return self.predictor.predict_grid(
             task, self.pred_grid, aux_at_targets=tl.aux_at_targets,
             times=np.asarray(times), n_samples=n_samples,
-            post_transform=post_transform_for(var),
+            post_transform=post_transform_for(var), outputs=outputs,
         )
 
 

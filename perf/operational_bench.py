@@ -114,22 +114,42 @@ def main(argv=None):
     # thread-pooled fetches overlapping download with compute, full
     # unnormalise + sea mask + Field assembly included.
     col = [c for c in stations.columns if c.endswith("_station")][0]
-    for tdt, nthreads in [("float16", 8), ("int8", 8), (None, 4)]:
+    # (transfer_dtype, threads, upload_dtype, outputs, tag): the last row is
+    # the OPERATIONAL config (cli/infer defaults) — int16 download of the
+    # mean only (the written product is mean-only, reference infer.py:104)
+    # with the task upload compressed to f16
+    modes = [
+        ("float16", 8, None, ("mean", "std"), ""),
+        ("int8", 8, None, ("mean", "std"), ""),
+        (None, 4, None, ("mean", "std"), ""),
+        ("int16", 8, "float16", ("mean",), "_meanonly_f16up"),
+    ]
+    big = tl(list(times))
+    ref_mean = None  # f32 row's mean, for the lossy modes' error column
+    for tdt, nthreads, udt, outputs, tag in modes:
         p = Predictor(model, params, dp, col, transfer_dtype=tdt,
-                      batch_chunk=ns.chunk, download_threads=nthreads)
-        _ = p.predict_grid(task0, dem, aux_at_targets=dem_n)  # warm cache
-        big = tl(list(times))
+                      batch_chunk=ns.chunk, download_threads=nthreads,
+                      upload_dtype=udt)
+        _ = p.predict_grid(task0, dem, aux_at_targets=dem_n,
+                           outputs=outputs)  # warm cache
         t0 = time.perf_counter()
-        out = p.predict_grid(big, dem, aux_at_targets=dem_n, times=times)
+        out = p.predict_grid(big, dem, aux_at_targets=dem_n, times=times,
+                             outputs=outputs)
         wall = time.perf_counter() - t0
-        key = f"{tdt or 'float32'}_chunk{ns.chunk}_threads{nthreads}"
+        key = f"{tdt or 'float32'}_chunk{ns.chunk}_threads{nthreads}{tag}"
         finite = float(np.isfinite(out["mean"].data).mean())
-        print(json.dumps({
+        row = {
             "metric": f"month_production_predict_grid_{key}",
             "wall_s": round(wall, 2), "hours": ns.hours,
             "tasks_per_sec": round(ns.hours / wall, 1),
             "finite_frac": round(finite, 4),
-        }), flush=True)
+        }
+        if tdt is None:
+            ref_mean = out["mean"].data
+        elif ref_mean is not None:
+            d = np.abs(out["mean"].data - ref_mean)
+            row["mean_max_abs_vs_f32"] = float(np.nanmax(d))
+        print(json.dumps(row), flush=True)
 
 
 def _diagnostic_sections(ns, tl, times, dem, dem_n, dp, model, params):

@@ -366,9 +366,11 @@ def test_hoisted_head_matches_unhoisted_grid_path():
     xt2 = jnp.linspace(0.05, 0.95, 40)
     rng = np.random.default_rng(0)
     for mlp_layers, with_aux in [(1, True), (1, False), (0, True), (2, True)]:
+        # mlp_hidden < decoder_channels so the measured hoist gate engages
+        # (the hoist only pays when the first layer NARROWS the decode)
         cfg = ConvNPConfig(
             unet_channels=(8, 8), likelihood="cnp", internal_density=16,
-            decoder_channels=8, mlp_hidden=8, mlp_layers=mlp_layers,
+            decoder_channels=8, mlp_hidden=4, mlp_layers=mlp_layers,
             compute_dtype="float32", hoist_head=True,
         )
         t = task if with_aux else task.replace(yt_aux=None)

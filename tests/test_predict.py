@@ -242,3 +242,53 @@ def test_batch_chunked_samples_shape(setting):
     assert s.shape == (3, task.batch_size, 48, 48)
     land = ~np.isnan(dem.data)
     assert np.isfinite(s.data[:, :, land]).all()
+
+
+def test_mean_only_outputs_matches_full(setting):
+    """outputs=("mean",) (reference-operational: infer.py:104 keeps only the
+    mean) fetches an identical mean map and simply omits the std field."""
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    full = pred.predict_grid(task, dem, aux_at_targets=dem_n)
+    m = pred.predict_grid(task, dem, aux_at_targets=dem_n, outputs=("mean",))
+    np.testing.assert_array_equal(m["mean"].data, full["mean"].data)
+    assert "std" not in m
+    with pytest.raises(ValueError):
+        pred.predict_grid(task, dem, aux_at_targets=dem_n, outputs=("std",))
+
+
+def test_upload_dtype_compression(setting):
+    """upload_dtype="float16" halves the upload of the task's VALUE leaves;
+    outputs match the f32 path to input-rounding precision (coordinates and
+    on-device compute stay f32), chunked or not."""
+    from deepsensornz_tpu.infer.predict import _prepare_grid_task
+
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    p16 = Predictor(pred.model, pred.params, pred.dp, st_col,
+                    upload_dtype="float16")
+    a = pred.predict_grid(task, dem, aux_at_targets=dem_n)
+    b = p16.predict_grid(task, dem, aux_at_targets=dem_n)
+    land = ~np.isnan(dem.data)
+    ma, mb = a["mean"].data[:, land], b["mean"].data[:, land]
+    np.testing.assert_allclose(mb, ma, atol=2e-2 * max(1.0, np.abs(ma).max()))
+    np.testing.assert_allclose(b["std"].data[:, land], a["std"].data[:, land],
+                               rtol=2e-2, atol=1e-3)
+    # chunked + compressed pipeline agrees with its own one-shot result
+    import deepsensornz_tpu.task.batching as batching
+
+    big = batching.concat([task, task, batching.take(task, [0])])
+    pc = Predictor(pred.model, pred.params, pred.dp, st_col,
+                   upload_dtype="float16", batch_chunk=2, download_threads=2)
+    c = pc.predict_grid(big, dem, aux_at_targets=dem_n)
+    np.testing.assert_allclose(c["mean"].data[:2], b["mean"].data,
+                               rtol=1e-4, atol=1e-6)
+    # the upload shaping: target leaves are stripped, VALUE leaves are f16,
+    # coordinate leaves are untouched f32
+    import jax.numpy as jnp
+
+    t = _prepare_grid_task(task, "float16")
+    assert t.yt is None and t.yt_aux is None
+    assert t.xt.shape == (task.batch_size, 1, 2)
+    assert t.grids[0].y.dtype == jnp.float16
+    assert t.points[0].y.dtype == jnp.float16
+    assert t.points[0].x.dtype == jnp.float32
+    assert t.x1g.dtype == jnp.float32
