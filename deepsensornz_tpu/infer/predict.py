@@ -83,13 +83,17 @@ def _linear_interp_weights(old: np.ndarray, new: np.ndarray) -> np.ndarray:
 _QUANT_BITS = {"int16": 16, "int8": 8}
 
 
-def _quantize_ingraph(v: jnp.ndarray, bits: int) -> dict:
+def _quantize_ingraph(v: jnp.ndarray, bits: int,
+                      axes: Optional[tuple] = None) -> dict:
     """Affine-quantize a (..., H, W, C) map IN-graph with per-(leading, C)
-    scale/offset over the spatial axes. Downloading ``q`` (int8/int16) +
-    the tiny lo/scale maps moves 4×/2× fewer bytes than f32 — the lever on
-    a wire-bound serving link. Max abs error = scale/2 = range/(2·(2ᵇ−1))
-    per map (measured in docs/results/operational_month_r4.json)."""
-    axes = (v.ndim - 3, v.ndim - 2)
+    scale/offset over the spatial axes (or explicit ``axes`` — the
+    land-gathered layout quantizes over its single point axis).
+    Downloading ``q`` (int8/int16) + the tiny lo/scale maps moves 4×/2×
+    fewer bytes than f32 — the lever on a wire-bound serving link. Max abs
+    error = scale/2 = range/(2·(2ᵇ−1)) per map (measured in
+    docs/results/operational_month_r4.json)."""
+    if axes is None:
+        axes = (v.ndim - 3, v.ndim - 2)
     lo = jnp.min(v, axis=axes, keepdims=True)
     hi = jnp.max(v, axis=axes, keepdims=True)
     levels = float(2 ** bits - 1)
@@ -189,6 +193,13 @@ def _grid_forward_fn(model, n_samples: int, transfer_dtype: Optional[str] = None
     operational product keeps ONLY the mean (``outputs/infer.py:93-112``
     strips to the ``mean`` var before writing), so ``("mean",)`` halves
     the download of a mean+std month.
+
+    ``gather_land``: the prediction maps are sea-masked to NaN on host
+    anyway (``validate_ERA.py:94-96``), so when enabled the graph gathers
+    ONLY the land cells (a traced ``land_idx`` flat-index vector) before
+    the transfer — exact, and cuts every download mode by the sea
+    fraction (~42 % of the NZ 0.05° grid is sea). Host side scatters back
+    into NaN-filled full maps.
     """
     lik = model.cfg.make_likelihood()
     qbits = _QUANT_BITS.get(transfer_dtype or "")
@@ -196,7 +207,7 @@ def _grid_forward_fn(model, n_samples: int, transfer_dtype: Optional[str] = None
            if transfer_dtype and not qbits else None)
 
     @jax.jit
-    def fn(params, task, target_grid, seed, std_scale):
+    def fn(params, task, target_grid, seed, std_scale, land_idx=None):
         raw = model.apply(params, _upcast_f32(task), target_grid=target_grid)
         # post-hoc recalibration (traced): reparameterise the head so the
         # predictive spread scales by std_scale around an unchanged mean —
@@ -206,14 +217,22 @@ def _grid_forward_fn(model, n_samples: int, transfer_dtype: Optional[str] = None
         mean, std = lik.mean_std(raw)
         out = {k: v for k, v in (("mean", mean), ("std", std))
                if k in outputs}
+        B, Ht, Wt, K = raw.shape
         if n_samples > 0:
             # flatten grid → (B, Ht*Wt, K) so the head's joint sampler applies
-            B, Ht, Wt, K = raw.shape
             flat = raw.reshape(B, Ht * Wt, K)
             s = lik.sample(flat, jax.random.key(seed), n_samples)
             out["samples"] = s.reshape((n_samples, B, Ht, Wt, -1))
+        if land_idx is not None:
+            out = {
+                k: jnp.take(v.reshape(v.shape[:-3] + (Ht * Wt, v.shape[-1])),
+                            land_idx, axis=-2)
+                for k, v in out.items()
+            }
+        q_axes = (-2,) if land_idx is not None else None
         if qbits:
-            out = {k: _quantize_ingraph(v, qbits) for k, v in out.items()}
+            out = {k: _quantize_ingraph(v, qbits, q_axes)
+                   for k, v in out.items()}
         elif tdt is not None:
             out = {k: v.astype(tdt) for k, v in out.items()}
         return out
@@ -296,11 +315,11 @@ class Predictor:
     # -- jitted cores --------------------------------------------------------
 
     def _grid_forward(self, params, task, target_grid, n_samples: int, seed=0,
-                      outputs: tuple = ("mean", "std")):
+                      outputs: tuple = ("mean", "std"), land_idx=None):
         return _grid_forward_fn(self.model, n_samples, self.transfer_dtype,
                                 outputs)(
             params, task, target_grid, jnp.asarray(seed),
-            jnp.asarray(self.std_scale, jnp.float32),
+            jnp.asarray(self.std_scale, jnp.float32), land_idx,
         )
 
     def _point_forward(self, params, task):
@@ -385,9 +404,18 @@ class Predictor:
                 )
             aux_grid = aux  # (Ht, Wt, C); broadcast per forward-call batch
 
+        # sea cells are NaN-masked below anyway: transfer ONLY land cells
+        # (in-graph gather, host scatter) — exact, and cuts the download
+        # by the sea fraction (~42 % of the NZ grid)
+        land = None
+        if sea_mask:
+            sea2d = np.isnan(target_elev.data)
+            if sea2d.any():
+                land = np.flatnonzero(~sea2d.ravel())
+
         # keep the channel axis: (B, Ht, Wt, dy); dequantize/upcast on host
         mean, std, samples = self._forward_and_fetch(
-            task, xt1, xt2, aux_grid, n_samples, seed, outputs)
+            task, xt1, xt2, aux_grid, n_samples, seed, outputs, land)
 
         if post_transform is not None:
             mean, std = post_transform(mean, std)
@@ -434,7 +462,8 @@ class Predictor:
         return Prediction(fields)
 
     def _forward_and_fetch(self, task, xt1, xt2, aux, n_samples: int,
-                           seed: int, outputs: tuple = ("mean", "std")):
+                           seed: int, outputs: tuple = ("mean", "std"),
+                           land=None):
         """Gridded forward + device→host fetch, chunked when configured.
 
         With ``batch_chunk`` set and exceeded, the batch splits into
@@ -451,6 +480,19 @@ class Predictor:
         # upload shaping: drop target-side leaves (unused on the grid path,
         # exact) + optional value compression — see _prepare_grid_task
         task = _prepare_grid_task(task, self.upload_dtype)
+        Ht, Wt = xt1.shape[0], xt2.shape[0]
+        # the land-cell index vector lives on device ONCE; chunks reuse it
+        land_dev = None if land is None else jnp.asarray(land, jnp.int32)
+
+        def expand(a):
+            """Scatter a land-gathered (.., L, C) array back into the
+            NaN-filled full (.., Ht, Wt, C) map."""
+            if a is None or land is None:
+                return a
+            lead = a.shape[:-2]
+            full = np.full(lead + (Ht * Wt, a.shape[-1]), np.nan, a.dtype)
+            full[..., land, :] = a
+            return full.reshape(lead + (Ht, Wt, a.shape[-1]))
 
         def brd_aux(b):
             return (None if aux is None
@@ -458,16 +500,17 @@ class Predictor:
 
         def fetch(out):
             return (
-                _dequantize_host(out["mean"]),
-                _dequantize_host(out["std"]) if "std" in out else None,
-                _dequantize_host(out["samples"]) if n_samples > 0 else None,
+                expand(_dequantize_host(out["mean"])),
+                expand(_dequantize_host(out["std"])) if "std" in out else None,
+                expand(_dequantize_host(out["samples"]))
+                if n_samples > 0 else None,
             )
 
         chunk = self.batch_chunk
         if not chunk or B <= chunk:
             return fetch(self._grid_forward(
                 self.params, task, (xt1, xt2, brd_aux(B)), n_samples,
-                jnp.asarray(seed), outputs))
+                jnp.asarray(seed), outputs, land_dev))
 
         from concurrent.futures import ThreadPoolExecutor
 
@@ -491,7 +534,7 @@ class Predictor:
                         [idx, np.full(chunk - len(idx), idx[-1], idx.dtype)])
                 out = self._grid_forward(
                     self.params, _take_device(task, idx), (xt1, xt2, aux_c),
-                    n_samples, jnp.asarray(seed + off), outputs)
+                    n_samples, jnp.asarray(seed + off), outputs, land_dev)
                 futures.append(ex.submit(fetch, out))
             got = [f.result() for f in futures]
         mean = np.concatenate([g[0] for g in got], axis=0)[:B]

@@ -123,6 +123,7 @@ def main(argv=None):
         ("int8", 8, None, ("mean", "std"), ""),
         (None, 4, None, ("mean", "std"), ""),
         ("int16", 8, "float16", ("mean",), "_meanonly_f16up"),
+        ("int8", 8, "float16", ("mean",), "_meanonly_f16up"),
     ]
     big = tl(list(times))
     ref_mean = None  # f32 row's mean, for the lossy modes' error column

@@ -292,3 +292,24 @@ def test_upload_dtype_compression(setting):
     assert t.points[0].y.dtype == jnp.float16
     assert t.points[0].x.dtype == jnp.float32
     assert t.x1g.dtype == jnp.float32
+
+
+def test_land_only_transfer_exact(setting):
+    """sea_mask=True transfers ONLY land cells (in-graph gather, host
+    scatter). Land values must equal the full-map path bit-for-bit (same
+    program up to the gather), sea cells NaN; quantized modes agree to
+    their documented step."""
+    pred, task, dem, dem_n, times, stations, st_col = setting
+    a = pred.predict_grid(task, dem, aux_at_targets=dem_n, sea_mask=False)
+    b = pred.predict_grid(task, dem, aux_at_targets=dem_n, sea_mask=True)
+    land = ~np.isnan(dem.data)
+    for k in ("mean", "std"):
+        np.testing.assert_array_equal(b[k].data[:, land], a[k].data[:, land])
+        assert np.isnan(b[k].data[:, ~land]).all()
+    # int16 quantization over the gathered land axis
+    q = Predictor(pred.model, pred.params, pred.dp, st_col,
+                  transfer_dtype="int16")
+    c = q.predict_grid(task, dem, aux_at_targets=dem_n, sea_mask=True)
+    ma = a["mean"].data[:, land]
+    np.testing.assert_allclose(c["mean"].data[:, land], ma,
+                               atol=(ma.max() - ma.min()) / 65535 + 1e-6)
