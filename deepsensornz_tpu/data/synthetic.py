@@ -40,13 +40,17 @@ def synthetic_dem(
     n_lon: int = 128,
     extent: str = "all",
     seed: int = 0,
+    terrain_scale: float = 800.0,
 ) -> Field:
-    """Synthetic DEM: smooth mountains over an island, NaN over sea."""
+    """Synthetic DEM: smooth mountains over an island, NaN over sea.
+
+    ``terrain_scale`` sets mountain amplitude/roughness (the multi-world
+    robustness knob, ``perf/profile_robustness.py``)."""
     rng = np.random.default_rng(seed)
     e = cfg.EXTENTS[extent]
     lat = np.linspace(e["maxlat"], e["minlat"], n_lat)
     lon = np.linspace(e["minlon"], e["maxlon"], n_lon)
-    terrain = _smooth_noise(rng, (n_lat, n_lon), octaves=4, scale=800.0)
+    terrain = _smooth_noise(rng, (n_lat, n_lon), octaves=4, scale=terrain_scale)
     terrain = np.abs(terrain) + 5.0
     # island mask: an ellipse-ish blob with noisy coastline
     yy, xx = np.meshgrid(np.linspace(-1, 1, n_lat), np.linspace(-1, 1, n_lon), indexing="ij")
@@ -66,8 +70,11 @@ def synthetic_base_grid(
     start: str = "2000-01-01",
     freq_hours: int = 24,
     seed: int = 1,
+    base_noise: float = 2.0,
 ) -> Field:
-    """Synthetic coarse base field (ERA5-like): seasonal cycle + smooth noise."""
+    """Synthetic coarse base field (ERA5-like): seasonal cycle + smooth noise.
+
+    ``base_noise`` scales the synoptic (smooth-noise) component."""
     rng = np.random.default_rng(seed)
     e = cfg.EXTENTS[extent]
     lat = np.linspace(e["maxlat"], e["minlat"], n_lat)
@@ -77,7 +84,8 @@ def synthetic_base_grid(
     season = np.cos(2 * np.pi * (doy - 15) / 365.25)  # southern-hemisphere phase
     base = 12.0 - 8.0 * season[:, None, None]
     lat_grad = (lat - lat.mean())[None, :, None] * 0.6
-    noise = np.stack([_smooth_noise(rng, (n_lat, n_lon), 3, 2.0) for _ in range(n_times)])
+    noise = np.stack([_smooth_noise(rng, (n_lat, n_lon), 3, base_noise)
+                      for _ in range(n_times)])
     data = base + lat_grad + noise
     if variable == "precipitation":
         amount = np.maximum(np.exp(0.35 * (data - 8.0)) - 1.0, 0.0)
@@ -110,10 +118,16 @@ def synthetic_stations(
     n_stations: int = 64,
     missing_frac: float = 0.1,
     seed: int = 2,
+    lapse_rate: float = 0.0065,
+    obs_noise: float = 0.5,
 ):
     """Synthetic station frame: base field sampled at random land points
     + elevation lapse + local noise; ~``missing_frac`` observations dropped
-    to mimic ragged availability."""
+    to mimic ragged availability.
+
+    ``lapse_rate`` (temperature °C/m) and ``obs_noise`` (temperature σ, °C)
+    are the sub-grid-signal / noise-floor world knobs; other variables keep
+    their physically-motivated hardcoded processes."""
     if pd is None:  # pragma: no cover
         raise RuntimeError("pandas required for station frames")
     rng = np.random.default_rng(seed)
@@ -138,7 +152,7 @@ def synthetic_stations(
             v = vals.sel(latitude=float(lats[si]), longitude=float(lons[si]), method="nearest")
             y = float(v.data)
             if variable == "temperature":
-                y = y - 0.0065 * float(elevs[si]) + rng.normal(0, 0.5)
+                y = y - lapse_rate * float(elevs[si]) + rng.normal(0, obs_noise)
             elif variable == "precipitation":
                 # Sub-grid signal on BOTH precip components. Amount:
                 # orographic enhancement well above observation noise (the
@@ -196,9 +210,26 @@ def synthetic_bundle(
     dem_hw: tuple[int, int] = (128, 128),
     n_stations: int = 64,
     seed: int = 0,
+    world: dict | None = None,
 ):
-    """One call producing (base Field, DEM Field, station DataFrame)."""
-    dem = synthetic_dem(*dem_hw, seed=seed)
-    base = synthetic_base_grid(variable, n_times, *base_hw, seed=seed + 1)
-    stations = synthetic_stations(base, dem, variable, n_stations, seed=seed + 2)
+    """One call producing (base Field, DEM Field, station DataFrame).
+
+    ``world`` bundles the generator knobs for multi-world robustness runs
+    (VERDICT r4 item 2): ``terrain_scale`` (DEM roughness), ``base_noise``
+    (synoptic variability), ``lapse_rate`` / ``obs_noise`` (sub-grid signal
+    vs noise floor) and ``n_stations`` (network density). Defaults
+    reproduce the historical single world exactly."""
+    world = dict(world or {})
+    n_stations = world.pop("n_stations", n_stations)
+    dem = synthetic_dem(*dem_hw, seed=seed,
+                        terrain_scale=world.pop("terrain_scale", 800.0))
+    base = synthetic_base_grid(variable, n_times, *base_hw, seed=seed + 1,
+                               base_noise=world.pop("base_noise", 2.0))
+    stations = synthetic_stations(
+        base, dem, variable, n_stations, seed=seed + 2,
+        lapse_rate=world.pop("lapse_rate", 0.0065),
+        obs_noise=world.pop("obs_noise", 0.5),
+    )
+    if world:
+        raise ValueError(f"unknown world knobs: {sorted(world)}")
     return base, dem, stations

@@ -21,6 +21,7 @@ For non-Gaussian heads, AR sampling lives in :mod:`deepsensornz_tpu.infer.ar`.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Optional
 
 import jax
@@ -311,6 +312,9 @@ class Predictor:
         # (``Train.train_model(recalibrate=...)``); lives in the checkpoint
         # metadata so it travels WITH the model artifact
         self.std_scale = float(std_scale)
+        # wall split of the most recent chunked predict_grid (upload vs
+        # overlapped dispatch+compute+download) — perf accounting only
+        self.last_timings: Optional[dict] = None
 
     # -- jitted cores --------------------------------------------------------
 
@@ -523,7 +527,14 @@ class Predictor:
         # chunk (~2 s/chunk measured), jitted it is one dispatch. Fetches
         # are submitted as soon as each chunk is dispatched so downloads
         # overlap the remaining dispatch work as well as the compute.
+        t_up = time.perf_counter()
         task = jax.device_put(task)
+        # one-leaf sync: the upload must complete before any chunk computes,
+        # so this only moves the wait to where it is attributable (one extra
+        # host-link round trip, ~30 ms on a month-scale wall)
+        jax.block_until_ready(jax.tree.leaves(task)[-1])
+        t_up = time.perf_counter() - t_up
+        t_run = time.perf_counter()
         aux_c = brd_aux(chunk)
         futures = []
         with ThreadPoolExecutor(max(self.download_threads, 1)) as ex:
@@ -537,6 +548,11 @@ class Predictor:
                     n_samples, jnp.asarray(seed + off), outputs, land_dev)
                 futures.append(ex.submit(fetch, out))
             got = [f.result() for f in futures]
+        # wall split of the last chunked run: upload vs overlapped
+        # dispatch+compute+download (the overlap is the design, so the
+        # second bucket is not separable further without serialising it)
+        self.last_timings = {"upload_s": round(t_up, 3),
+                             "overlap_s": round(time.perf_counter() - t_run, 3)}
         mean = np.concatenate([g[0] for g in got], axis=0)[:B]
         std = (np.concatenate([g[1] for g in got], axis=0)[:B]
                if "std" in outputs else None)

@@ -21,6 +21,13 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name as _ckpt_name
+
+
+def _tag(x: jnp.ndarray) -> jnp.ndarray:
+    """Tag a per-level activation for selective rematerialisation
+    (``ConvNPConfig.remat_policy="acts"``). Identity outside remat."""
+    return _ckpt_name(x, "unet_act")
 
 
 def _subpixel_up(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
@@ -552,9 +559,11 @@ class UNet(nn.Module):
             else:
                 x = nn.Conv(ch, ksz(i), strides=(2, 2), padding="SAME", dtype=dt,
                             name=f"down_{i}")(x)
+            x = _tag(x)
 
         x = nn.relu(x)
         x = mix_conv(self.channels[-1], ksz(len(self.channels))[0], "bottleneck")(x)
+        x = _tag(x)
 
         for i, ch in reversed(list(enumerate(self.channels))):
             x = nn.relu(x)
@@ -569,6 +578,7 @@ class UNet(nn.Module):
             x = jnp.concatenate([x, skips[i]], axis=-1)
             x = nn.relu(x)
             x = mix_conv(ch, ksz(i)[0], f"up_mix_{i}")(x)
+            x = _tag(x)
 
         x = nn.relu(x)
         x = nn.Conv(self.out_channels, (1, 1), dtype=dt, name="head")(x)
@@ -587,18 +597,20 @@ class UNet(nn.Module):
 
         x = nn.Conv(self.channels[0], (1, 1), dtype=dt, name="stem")(x)
         B, H, W, C = x.shape
-        u = x.reshape(B, H, W // 2, 2 * C)
+        # tag the PACKED stem output: under remat_policy="acts" the backward
+        # restarts from here instead of replaying the pack shuffle
+        u = _tag(x.reshape(B, H, W // 2, 2 * C))
 
         skips = []
         for i, ch in enumerate(self.channels):
             u = nn.relu(u)
             skips.append(u)
-            u = _PackWDown(ch, ksz(i)[0], dtype=dt, packed_io=True,
-                           name=f"down_{i}")(u)
+            u = _tag(_PackWDown(ch, ksz(i)[0], dtype=dt, packed_io=True,
+                                name=f"down_{i}")(u))
 
         u = nn.relu(u)
-        u = _PackWConv(self.channels[-1], ksz(len(self.channels))[0], dtype=dt,
-                       packed_io=True, name="bottleneck")(u)
+        u = _tag(_PackWConv(self.channels[-1], ksz(len(self.channels))[0],
+                            dtype=dt, packed_io=True, name="bottleneck")(u))
 
         for i, ch in reversed(list(enumerate(self.channels))):
             u = nn.relu(u)
@@ -606,8 +618,8 @@ class UNet(nn.Module):
             skip_ch = skips[i].shape[-1] // 2
             u = jnp.concatenate([u, skips[i]], axis=-1)
             u = nn.relu(u)
-            u = _PackWConv(ch, ksz(i)[0], dtype=dt, packed_io=True,
-                           in_splits=(ch, skip_ch), name=f"up_mix_{i}")(u)
+            u = _tag(_PackWConv(ch, ksz(i)[0], dtype=dt, packed_io=True,
+                                in_splits=(ch, skip_ch), name=f"up_mix_{i}")(u))
 
         Bp, Hp, Wp, Cp = u.shape
         x = u.reshape(Bp, Hp, 2 * Wp, Cp // 2)

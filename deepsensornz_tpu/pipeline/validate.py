@@ -805,18 +805,13 @@ class ValidateERA:
                         coords["time"] = t_new
                         updated[n] = Field(arr, old.dims, coords, n, {})
                 new_context.append(_DS(updated))
-        saved = tl.context, tl.target
-        try:
-            tl.context = new_context
-            if station_df is not None:
-                tl.target = dp(remove_stations_from_frame(station_df, remove_stations),
-                               assert_computed=True)
-            tl._rebuild_static()
+        new_target = None
+        if station_df is not None:
+            new_target = dp(remove_stations_from_frame(station_df, remove_stations),
+                            assert_computed=True)
+        with tl.swap_data(context=new_context, target=new_target):
             task = tl(list(np.asarray(times)),
                       context_sampling=context_sampling, seed_override=42)
-        finally:
-            tl.context, tl.target = saved
-            tl._rebuild_static()
 
         # highres aux for the prediction grid comes from the loader's own
         # aux_at_targets (normalised topo stack)

@@ -23,6 +23,7 @@ serves every date — no station-count bucketing (``train.py:448-475``).
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 from typing import Optional, Sequence
 
@@ -184,6 +185,48 @@ class TaskLoader:
         self.target_capacity = max(cap, getattr(self, "target_capacity", 0))
         # invalidate the fast-path flat cache: data may have been swapped
         self._flat_cache = {}
+
+    @contextlib.contextmanager
+    def swap_data(self, context=None, target=None):
+        """Temporarily swap the loader's context/target data in place.
+
+        The supported API for operational inference against a trained
+        loader (reference mutates a pickled loader's ``.context`` before
+        predicting, ``validate_ERA.py:117-127``): swaps the data, rederives
+        the static geometry (the internal grid; capacities never shrink, so
+        compiled programs survive the swap), and restores the originals —
+        including variable-ID lists — on exit.
+
+        ``context`` must have the same number of sets as the loader was
+        built with (``delta_t``/``context_sampling`` are per-set).
+        """
+        if context is not None and len(context) != len(self.context):
+            raise ValueError(
+                f"swap_data context must have {len(self.context)} sets, "
+                f"got {len(context)}"
+            )
+        saved = (self.context, self.target,
+                 self.context_var_IDs, self.target_var_IDs)
+        try:
+            if context is not None:
+                self.context = list(context)
+                self.context_var_IDs = [
+                    [f.name for f in _grid_channels(c)]
+                    if not _is_frame(c) else _frame_value_cols(c)
+                    for c in self.context
+                ]
+            if target is not None:
+                self.target = target
+                self.target_var_IDs = (
+                    _frame_value_cols(target) if _is_frame(target)
+                    else [f.name for f in _grid_channels(target)]
+                )
+            self._rebuild_static()
+            yield self
+        finally:
+            (self.context, self.target,
+             self.context_var_IDs, self.target_var_IDs) = saved
+            self._rebuild_static()
 
     # -- seeding ------------------------------------------------------------------
 

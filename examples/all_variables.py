@@ -21,11 +21,13 @@ from deepsensornz_tpu.pipeline.validate import Validate
 
 
 def main(out_root=None):
+    tiny = os.environ.get("DEEPSENSORNZ_EXAMPLE_TINY") == "1"
     out_root = out_root or tempfile.mkdtemp(prefix="all_vars_")
     results = {}
     for variable in cfg.VARIABLE_OPTIONS:
         base, dem, stations = synthetic_bundle(
-            variable=variable, n_times=10, base_hw=(20, 20), dem_hw=(64, 64),
+            variable=variable, n_times=6 if tiny else 10, base_hw=(20, 20),
+            dem_hw=(40, 40) if tiny else (64, 64),
             n_stations=16, seed=hash(variable) % 1000,
         )
         pre = PreprocessForDownscaling(variable=variable)
@@ -40,8 +42,8 @@ def main(out_root=None):
             decoder_channels=8, mlp_hidden=8,
         )
         model_dir = os.path.join(out_root, variable)
-        r = training.train_model(n_epochs=2, batch_size=4, lr=1e-3,
-                                 model_dir=model_dir, verbose=False)
+        r = training.train_model(n_epochs=1 if tiny else 2, batch_size=4,
+                                 lr=1e-3, model_dir=model_dir, verbose=False)
         v = Validate(model_dir)
         loss = v.calculate_loss(list(base.coords["time"][:2]))
         results[variable] = {

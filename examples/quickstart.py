@@ -6,6 +6,8 @@ Runs anywhere (CPU or TPU) in ~a minute:
     python examples/quickstart.py
 """
 
+import os
+
 import numpy as np
 
 from deepsensornz_tpu.data.synthetic import synthetic_bundle
@@ -15,11 +17,14 @@ from deepsensornz_tpu.pipeline.train import Train
 from deepsensornz_tpu.pipeline.validate import Validate
 
 
-def main():
+def main(model_dir="/tmp/quickstart_model"):
+    # DEEPSENSORNZ_EXAMPLE_TINY=1 shrinks every knob so the hermetic test
+    # suite can exercise this example end-to-end in seconds
+    tiny = os.environ.get("DEEPSENSORNZ_EXAMPLE_TINY") == "1"
     # 1. synthetic raw data: coarse base grid + DEM + ragged stations
     base, dem, stations = synthetic_bundle(
-        variable="temperature", n_times=16, base_hw=(24, 24),
-        dem_hw=(96, 96), n_stations=24,
+        variable="temperature", n_times=6 if tiny else 16, base_hw=(24, 24),
+        dem_hw=(48, 48) if tiny else (96, 96), n_stations=24,
     )
 
     # 2. feature engineering + normalisation
@@ -33,10 +38,11 @@ def main():
     # 3. tasks + model + training
     training = Train(processed)
     training.setup_task_loader(station_as_context="all", internal_density=32)
-    training.initialise_model(unet_channels=(16, 16, 16), likelihood="cnp",
-                              compute_dtype="float32")
+    training.initialise_model(
+        unet_channels=(8, 8) if tiny else (16, 16, 16), likelihood="cnp",
+        compute_dtype="float32")
     result = training.train_model(
-        n_epochs=5, batch_size=4, lr=1e-3, model_dir="/tmp/quickstart_model",
+        n_epochs=1 if tiny else 5, batch_size=4, lr=1e-3, model_dir=model_dir,
     )
     print("train losses:", [round(l, 3) for l in result["train_losses"]])
 
@@ -56,7 +62,7 @@ def main():
           float(np.nanmax(pred['mean'].data)), "°C")
 
     # 5. holdout-station skill
-    v = Validate("/tmp/quickstart_model")
+    v = Validate(model_dir)
     loss = v.calculate_loss(list(base.coords["time"][:4]))
     print(f"holdout RMSE: {loss['rmse']:.2f} °C")
 

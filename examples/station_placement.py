@@ -23,10 +23,11 @@ from deepsensornz_tpu.al.greedy import GreedyAlgorithm
 
 
 def main(out_dir="/tmp/station_placement"):
+    tiny = os.environ.get("DEEPSENSORNZ_EXAMPLE_TINY") == "1"
     os.makedirs(out_dir, exist_ok=True)
     base, dem, stations = synthetic_bundle(
-        variable="temperature", n_times=16, base_hw=(24, 24),
-        dem_hw=(96, 96), n_stations=16,
+        variable="temperature", n_times=6 if tiny else 16, base_hw=(24, 24),
+        dem_hw=(48, 48) if tiny else (96, 96), n_stations=16,
     )
     pre = PreprocessForDownscaling(variable="temperature")
     processed = pre.run_processing_sequence(
@@ -35,10 +36,10 @@ def main(out_dir="/tmp/station_placement"):
     )
     training = Train(processed)
     training.setup_task_loader(station_as_context="all", internal_density=32)
-    training.initialise_model(unet_channels=(16, 16), likelihood="cnp",
-                              compute_dtype="float32")
+    training.initialise_model(unet_channels=(8, 8) if tiny else (16, 16),
+                              likelihood="cnp", compute_dtype="float32")
     model_dir = os.path.join(out_dir, "model")
-    training.train_model(n_epochs=5, batch_size=4, lr=1e-3,
+    training.train_model(n_epochs=1 if tiny else 5, batch_size=4, lr=1e-3,
                          model_dir=model_dir, verbose=False)
 
     v = Validate(model_dir)
@@ -53,7 +54,8 @@ def main(out_dir="/tmp/station_placement"):
     cand_aux = rng.normal(0, 0.1, size=(len(cands), A)).astype(np.float32)
 
     alg = GreedyAlgorithm(v.run["model"], v.run["params"], mode="exhaustive")
-    result = alg.run(task, cands, n_placements=5, candidate_aux=cand_aux)
+    result = alg.run(task, cands, n_placements=2 if tiny else 5,
+                     candidate_aux=cand_aux)
     print("placements (x1, x2):")
     for p, s in zip(result["placements"], result["acquisition_history"]):
         print(f"  ({p[0]:.3f}, {p[1]:.3f})  mean-std after: {s:.4f}")

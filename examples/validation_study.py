@@ -26,10 +26,11 @@ from deepsensornz_tpu import plot as dplot
 
 
 def main(out_dir="/tmp/validation_study"):
+    tiny = os.environ.get("DEEPSENSORNZ_EXAMPLE_TINY") == "1"
     os.makedirs(out_dir, exist_ok=True)
     base, dem, stations = synthetic_bundle(
-        variable="temperature", n_times=20, base_hw=(24, 24),
-        dem_hw=(96, 96), n_stations=24,
+        variable="temperature", n_times=8 if tiny else 20, base_hw=(24, 24),
+        dem_hw=(48, 48) if tiny else (96, 96), n_stations=24,
     )
     pre = PreprocessForDownscaling(variable="temperature")
     processed = pre.run_processing_sequence(
@@ -38,11 +39,12 @@ def main(out_dir="/tmp/validation_study"):
     )
     training = Train(processed)
     training.setup_task_loader(station_as_context="all", internal_density=32)
-    training.initialise_model(unet_channels=(16, 16, 16), likelihood="cnp",
-                              compute_dtype="float32")
+    training.initialise_model(
+        unet_channels=(8, 8) if tiny else (16, 16, 16), likelihood="cnp",
+        compute_dtype="float32")
     model_dir = os.path.join(out_dir, "model")
-    result = training.train_model(n_epochs=6, batch_size=4, lr=1e-3,
-                                  model_dir=model_dir, verbose=False)
+    result = training.train_model(n_epochs=1 if tiny else 6, batch_size=4,
+                                  lr=1e-3, model_dir=model_dir, verbose=False)
     dplot.make_loss_plot(result["train_losses"], result["val_losses"],
                          os.path.join(out_dir, "loss.png"))
 

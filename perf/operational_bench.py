@@ -30,7 +30,15 @@ def main(argv=None):
                     help="skip the naive/device-resident/transfer-mode "
                          "sections; measure only the shipped predict_grid "
                          "path (fast rerun)")
+    ap.add_argument("--out", default=None,
+                    help="write every measured row (plus run metadata) to "
+                         "this JSON artifact path")
     ns = ap.parse_args(argv)
+    rows: list[dict] = []
+
+    def emit(row: dict) -> None:
+        rows.append(row)
+        print(json.dumps(row), flush=True)
 
     import jax
 
@@ -90,7 +98,7 @@ def main(argv=None):
                         "temperature", "bench", mean_only=True)
         t_write = time.perf_counter() - t_write0
         total = time.perf_counter() - t_month
-        print(json.dumps({
+        emit({
             "metric": "month_hourly_inference_wall",
             "hours": ns.hours,
             "value": round(total, 2),
@@ -103,10 +111,10 @@ def main(argv=None):
             # downloading the full mean/std maps (~14 MB/chunk); on a real TPU
             # host this is PCIe-speed and the cycle bench (bench.py) reflects
             # the compute latency.
-        }), flush=True)
+        })
 
     if not ns.production_only:
-        _diagnostic_sections(ns, tl, times, dem, dem_n, dp, model, params)
+        _diagnostic_sections(ns, tl, times, dem, dem_n, dp, model, params, emit)
 
     # ---- SHIPPED production path (VERDICT r4 item 2) -----------------------
     # Predictor(batch_chunk, download_threads) — the path cli.infer runs:
@@ -114,18 +122,23 @@ def main(argv=None):
     # thread-pooled fetches overlapping download with compute, full
     # unnormalise + sea mask + Field assembly included.
     col = [c for c in stations.columns if c.endswith("_station")][0]
-    # (transfer_dtype, threads, upload_dtype, outputs, tag): the last row is
+    # (transfer_dtype, threads, upload_dtype, outputs, tag): the f32 row runs
+    # FIRST so every lossy row carries an error column; the last rows are
     # the OPERATIONAL config (cli/infer defaults) — int16 download of the
     # mean only (the written product is mean-only, reference infer.py:104)
     # with the task upload compressed to f16
     modes = [
+        (None, 4, None, ("mean", "std"), ""),
         ("float16", 8, None, ("mean", "std"), ""),
         ("int8", 8, None, ("mean", "std"), ""),
-        (None, 4, None, ("mean", "std"), ""),
         ("int16", 8, "float16", ("mean",), "_meanonly_f16up"),
         ("int8", 8, "float16", ("mean",), "_meanonly_f16up"),
     ]
+    t0 = time.perf_counter()
     big = tl(list(times))
+    t_pack_month = time.perf_counter() - t0
+    emit({"metric": "month_task_pack", "hours": ns.hours,
+          "wall_s": round(t_pack_month, 2)})
     ref_mean = None  # f32 row's mean, for the lossy modes' error column
     for tdt, nthreads, udt, outputs, tag in modes:
         p = Predictor(model, params, dp, col, transfer_dtype=tdt,
@@ -145,15 +158,35 @@ def main(argv=None):
             "tasks_per_sec": round(ns.hours / wall, 1),
             "finite_frac": round(finite, 4),
         }
+        if p.last_timings:
+            row.update(p.last_timings)   # upload_s / overlapped rest
         if tdt is None:
             ref_mean = out["mean"].data
         elif ref_mean is not None:
             d = np.abs(out["mean"].data - ref_mean)
             row["mean_max_abs_vs_f32"] = float(np.nanmax(d))
-        print(json.dumps(row), flush=True)
+        emit(row)
+
+    if ns.out:
+        artifact = {
+            "metric": "operational_month_production_path",
+            "hardware": "TPU v5e-1 (axon remote relay)",
+            "hours": ns.hours, "chunk": ns.chunk,
+            "stations": ns.stations, "internal_density": ns.density,
+            "pipeline": "perf/operational_bench.py — shipped "
+                        "Predictor.predict_grid path: pack + bulk upload + "
+                        "jitted on-device chunk gather + quantized transfer "
+                        "+ land-only gather + thread-pooled fetches + "
+                        "unnormalise + sea mask + Field assembly",
+            "rows": rows,
+        }
+        with open(ns.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {ns.out}", flush=True)
 
 
-def _diagnostic_sections(ns, tl, times, dem, dem_n, dp, model, params):
+def _diagnostic_sections(ns, tl, times, dem, dem_n, dp, model, params,
+                         emit=lambda row: print(json.dumps(row), flush=True)):
     """Device-resident split + raw transfer-mode sweep (diagnostic legs)."""
     # ---- device-resident month batching (VERDICT round-1 #10) -------------
     # The naive loop above interleaves host transfers with compute, so
@@ -204,7 +237,7 @@ def _diagnostic_sections(ns, tl, times, dem, dem_n, dp, model, params):
     t_download = time.perf_counter() - td
     mb = sum(a.nbytes for a in month_mean + month_std) / 1e6
 
-    print(json.dumps({
+    emit({
         "metric": "month_hourly_inference_device_resident",
         "hours": ns.hours,
         "value": round(t_pack2 + t_upload + t_compute + t_download, 2),
@@ -215,7 +248,7 @@ def _diagnostic_sections(ns, tl, times, dem, dem_n, dp, model, params):
         "download_s": round(t_download, 2),
         "download_mb": round(mb, 1),
         "compute_tasks_per_sec": round(ns.hours / t_compute, 1),
-    }), flush=True)
+    })
 
     # ---- reduced-byte transfer modes + compute/download overlap ----------
     # (VERDICT r4 item 2): in-graph quantization shrinks the wire bytes
@@ -264,8 +297,7 @@ def _diagnostic_sections(ns, tl, times, dem, dem_n, dp, model, params):
             "download_mb": round(mb_m, 1),
             "max_abs_diff_vs_f32": round(err_m, 6),
         }
-        print(json.dumps({"metric": f"month_transfer_{key}",
-                          **results[key]}), flush=True)
+        emit({"metric": f"month_transfer_{key}", **results[key]})
 
 
 if __name__ == "__main__":

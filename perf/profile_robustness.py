@@ -1,0 +1,124 @@
+"""Multi-world robustness of the shipped config profiles (VERDICT r4 item 2).
+
+The ``tuned`` (d350) and ``throughput`` (d120 + pinned length-scale)
+profiles were measured in ONE synthetic world. A profile that only wins in
+the world it was tuned in is a benchmark artifact, not a recommendation —
+the reference's acceptance test is real-data holdout skill
+(``experiments/deepsensor/train/validation_notebook.py:422-492``); absent a
+data archive, the honest substitute is robustness of the density frontier
+across generator worlds.
+
+Sweeps 4 distinct worlds (terrain roughness, station density, observation
+noise, lapse-rate strength — ``data/synthetic.py`` world knobs) × the three
+densities the profiles ride (d500 parity / d350 tuned / d120+pinned-scale
+throughput), same training recipe per row (``perf/train_flagship.py``,
+30-epoch budget, seed 0). Writes
+``docs/results/profile_robustness_r5.json``.
+
+Run ON the TPU:
+
+    nohup python perf/profile_robustness.py > /tmp/robustness.log &
+"""
+
+import json
+import os
+import sys
+
+# the single world every prior artifact was measured in (defaults)
+WORLDS = {
+    # rougher mountains + sparse network: strong sub-grid signal, few obs
+    "rough_sparse": {"terrain_scale": 1600.0, "n_stations": 40},
+    # gentle terrain + dense network: weak signal, easy interpolation
+    "smooth_dense": {"terrain_scale": 400.0, "n_stations": 200,
+                     "obs_noise": 0.25},
+    # noisy observations: same signal, 3x the noise floor
+    "noisy_obs": {"obs_noise": 1.5},
+    # steep lapse + rough terrain: the elevation signal dominates
+    "steep_lapse": {"lapse_rate": 0.010, "terrain_scale": 1200.0},
+}
+
+# (tag, internal_density, extra config) — the density frontier the
+# profiles ride; d120 pins the measured-best temperature smoothing scale
+# exactly as THROUGHPUT_PROFILE ships it (config.py)
+DENSITY_ROWS = [
+    ("d500_parity", 500, {}),
+    ("d350_tuned", 350, {}),
+    ("d120_throughput", 120, {"init_lengthscale": 0.00714}),
+]
+
+
+def main(out_path="docs/results/profile_robustness_r5.json",
+         n_epochs=30, worlds=None):
+    from perf.train_flagship import main as train_main
+
+    rows = []
+    # loop density OUTER so same-shape programs reuse the jit cache across
+    # worlds (station-count changes still recompile; that's 2 extra)
+    for tag, density, extra in DENSITY_ROWS:
+        for wname, world in (worlds or WORLDS).items():
+            out_dir = f"/tmp/robustness/{wname}_{tag}"
+            m = train_main(out_dir, n_epochs=n_epochs,
+                           internal_density=density, world=world, **extra)
+            rows.append({
+                "world": wname, "world_knobs": world, "density_tag": tag,
+                "internal_density": density, "config_extra": extra,
+                "holdout_rmse_C": m["holdout_rmse_C"],
+                "baseline_rmse_C": m["baseline_rmse_C"],
+                "crps_mean": m["crps"].get("crps"),
+                "calibration_gate": m["calibration_gate"],
+                "calibration_gate_pit": m["calibration_gate_pit"],
+                "epochs_run": m["epochs_run"],
+                "train_wall_s": m["train_wall_s"],
+                "extrapolation_rmse_C": (
+                    m.get("extrapolation_holdout", {})
+                    .get("extrapolation", {}).get("rmse")),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+            _write(out_path, rows)
+    _write(out_path, rows, final=True)
+
+
+def _verdict(rows):
+    """Per-world frontier comparison: does the tuned (d350) point hold?"""
+    by = {}
+    for r in rows:
+        by.setdefault(r["world"], {})[r["density_tag"]] = r
+    out = {}
+    for w, d in by.items():
+        if len(d) < 3:
+            continue
+        r500 = d["d500_parity"]["holdout_rmse_C"]
+        r350 = d["d350_tuned"]["holdout_rmse_C"]
+        r120 = d["d120_throughput"]["holdout_rmse_C"]
+        out[w] = {
+            "d350_beats_or_matches_d500": bool(r350 <= r500 * 1.05),
+            "d120_within_10pct_of_best": bool(
+                r120 <= min(r500, r350) * 1.10),
+            "rmse": {"d500": r500, "d350": r350, "d120": r120},
+            "gates_pass": {t: d[t]["calibration_gate_pit"] for t in d},
+        }
+    return out
+
+
+def _write(out_path, rows, final=False):
+    art = {
+        "metric": "profile_robustness_multiworld",
+        "hardware": "TPU v5e-1 (axon remote relay)",
+        "protocol": "perf/train_flagship.py recipe (gnp, split context, "
+                    "AdamW 5e-5, 30-epoch budget w/ plateau early stop, "
+                    "seed 0), temperature; worlds = data/synthetic.py "
+                    "knobs; d120 rows pin init_lengthscale=0.00714 as the "
+                    "throughput profile ships",
+        "worlds": WORLDS,
+        "rows": rows,
+        "verdict_per_world": _verdict(rows),
+        "complete": final,
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=1)
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main(*sys.argv[1:2])

@@ -28,7 +28,7 @@ import numpy as np
 
 def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
          anchor_decay=None, internal_density=500, seed=0,
-         lengthscale_lr_mult=1.0, batch_size=8, **convnp_extra):
+         lengthscale_lr_mult=1.0, batch_size=8, world=None, **convnp_extra):
     os.makedirs(out_dir, exist_ok=True)
     import jax
 
@@ -42,7 +42,7 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
 
     base, dem, stations = synthetic_bundle(
         variable=variable, n_times=40, base_hw=(32, 32),
-        dem_hw=(128, 128), n_stations=100, seed=seed,
+        dem_hw=(128, 128), n_stations=100, seed=seed, world=world,
     )
     pre = PreprocessForDownscaling(variable=variable)
     processed = pre.run_processing_sequence(
@@ -126,7 +126,8 @@ def main(out_dir="/tmp/flagship_run", n_epochs=30, variable="temperature",
         "recipe": {"n_epochs": n_epochs, "batch_size": batch_size, "lr": 5e-5,
                    "station_as_context": "split",
                    "anchor_decay": anchor_decay,
-                   "internal_density": internal_density, "seed": seed},
+                   "internal_density": internal_density, "seed": seed,
+                   "world": world},
         "epochs_run": len(result["train_losses"]),
         "train_wall_s": round(train_s, 1),
         "best_val_nll": float(result["best_val"]),

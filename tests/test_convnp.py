@@ -506,3 +506,42 @@ def test_packw_conv_primitives_exact():
             np.testing.assert_allclose(
                 np.asarray(_packw_down(x, kern, bias, pack_out=po)),
                 np.asarray(ref2), atol=1e-4, rtol=1e-5)
+
+
+def test_remat_policies_numerically_exact():
+    """remat_policy is a perf knob only: loss AND grads identical (to float
+    tolerance) across no-remat / full remat / 'dots' / 'acts' policies, in
+    both the packed and unpacked lane domains."""
+    task = _tiny_task()
+    ref_loss = ref_grads = None
+    for lane in (False, "domain"):
+        for remat, policy in ((False, None), (True, None), (True, "dots"),
+                              (True, "acts")):
+            cfg = ConvNPConfig(
+                unet_channels=(8, 8), likelihood="cnp", internal_density=16,
+                compute_dtype="float32", lane_pack=lane, hoist_head=False,
+                remat=remat, remat_policy=policy,
+            )
+            model = ConvNP(cfg)
+            params = model.init(jax.random.key(0), task)
+            loss, grads = jax.value_and_grad(
+                lambda p: model.loss(p, task))(params)
+            if ref_loss is None:
+                ref_loss, ref_grads = loss, grads
+            else:
+                np.testing.assert_allclose(float(loss), float(ref_loss),
+                                           rtol=1e-5)
+                jax.tree.map(
+                    lambda a, b: np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3),
+                    grads, ref_grads)
+
+
+def test_remat_policy_unknown_raises():
+    task = _tiny_task()
+    cfg = ConvNPConfig(unet_channels=(8, 8), likelihood="cnp",
+                       internal_density=16, compute_dtype="float32",
+                       remat=True, remat_policy="bogus")
+    model = ConvNP(cfg)
+    with pytest.raises(ValueError, match="remat_policy"):
+        model.init(jax.random.key(0), task)

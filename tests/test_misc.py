@@ -146,3 +146,35 @@ def test_shipped_station_registry():
     assert any("WELLINGTON" in n for n in reg)
     # second call returns the cached object
     assert station_registry() is reg
+
+
+def test_synthetic_world_knobs():
+    """Multi-world generator knobs (profile-robustness protocol): each knob
+    moves its statistic; unknown knobs raise; defaults reproduce the
+    historical world bit-for-bit."""
+    import numpy as np
+    import pytest
+
+    from deepsensornz_tpu.data.synthetic import synthetic_bundle
+
+    base0, dem0, st0 = synthetic_bundle(n_times=3, base_hw=(12, 12),
+                                        dem_hw=(24, 24), n_stations=8, seed=3)
+    base1, dem1, st1 = synthetic_bundle(n_times=3, base_hw=(12, 12),
+                                        dem_hw=(24, 24), n_stations=8, seed=3,
+                                        world={})
+    np.testing.assert_array_equal(dem0.data, dem1.data)
+    np.testing.assert_array_equal(base0.data, base1.data)
+
+    _, dem_rough, _ = synthetic_bundle(n_times=3, base_hw=(12, 12),
+                                       dem_hw=(24, 24), n_stations=8, seed=3,
+                                       world={"terrain_scale": 1600.0})
+    assert np.nanmean(dem_rough.data) > 1.5 * np.nanmean(dem0.data)
+
+    _, _, st_many = synthetic_bundle(n_times=3, base_hw=(12, 12),
+                                     dem_hw=(24, 24), n_stations=8, seed=3,
+                                     world={"n_stations": 20})
+    assert st_many["station_id"].nunique() == 20
+
+    with pytest.raises(ValueError, match="world knobs"):
+        synthetic_bundle(n_times=2, base_hw=(12, 12), dem_hw=(24, 24),
+                         world={"bogus": 1})

@@ -299,3 +299,59 @@ def test_time_resolution_mismatch_snaps_same_day(pipeline):
     # a date whose whole day is absent still yields an empty set
     task2 = tl([t0 + np.timedelta64(3650, "D")])
     assert float(np.asarray(task2.yt_mask).sum()) == 0
+
+
+def test_swap_data_roundtrip(pipeline):
+    """swap_data: tasks reflect swapped data inside the block; the loader is
+    bit-identical to its pre-swap self afterwards (public API for the
+    reference's operational loader mutation, validate_ERA.py:117-127)."""
+    tl, times = make_loader(pipeline)
+    dp, base_n, dem_n, st_n, base = pipeline
+
+    before = tl(times[0], seed_override=3)
+    saved_ids = (list(map(list, tl.context_var_IDs)), list(tl.target_var_IDs))
+    saved_caps = (tl.point_capacity, tl.target_capacity)
+    saved_grid = (tl.x1g.copy(), tl.x2g.copy())
+
+    # swap in a reduced station frame (half the stations) as both
+    # context set 1 and target
+    keep = sorted(st_n["station_id"].unique())[: 12]
+    sub = st_n[st_n["station_id"].isin(keep)]
+    with tl.swap_data(context=[base_n, sub], target=sub) as swapped:
+        assert swapped is tl
+        task = tl(times[0], seed_override=3)
+        n_sub = float(np.asarray(task.points[0].mask).sum())
+        n_full = float(np.asarray(before.points[0].mask).sum())
+        assert n_sub < n_full
+        # capacities never shrink: compiled programs survive the swap
+        assert tl.point_capacity == saved_caps[0]
+        assert tl.target_capacity == saved_caps[1]
+
+    # restored: var IDs, geometry, and task content identical
+    assert (list(map(list, tl.context_var_IDs)), list(tl.target_var_IDs)) == saved_ids
+    np.testing.assert_array_equal(tl.x1g, saved_grid[0])
+    np.testing.assert_array_equal(tl.x2g, saved_grid[1])
+    after = tl(times[0], seed_override=3)
+    np.testing.assert_array_equal(np.asarray(before.points[0].x),
+                                  np.asarray(after.points[0].x))
+    np.testing.assert_array_equal(np.asarray(before.yt),
+                                  np.asarray(after.yt))
+
+
+def test_swap_data_rejects_wrong_set_count(pipeline):
+    tl, _ = make_loader(pipeline)
+    with pytest.raises(ValueError, match="sets"):
+        with tl.swap_data(context=[tl.context[0]]):
+            pass
+
+
+def test_swap_data_restores_on_exception(pipeline):
+    tl, times = make_loader(pipeline)
+    dp, base_n, dem_n, st_n, base = pipeline
+    before = tl(times[1], seed_override=5)
+    with pytest.raises(RuntimeError):
+        with tl.swap_data(context=[base_n, st_n.iloc[:4]]):
+            raise RuntimeError("boom")
+    after = tl(times[1], seed_override=5)
+    np.testing.assert_array_equal(np.asarray(before.points[0].x),
+                                  np.asarray(after.points[0].x))
