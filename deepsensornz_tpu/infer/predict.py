@@ -503,10 +503,14 @@ class Predictor:
                     else jnp.asarray(np.broadcast_to(aux, (b,) + aux.shape)))
 
         def fetch(out):
+            # f32 end-to-end: the assembled Fields are float32 anyway, and
+            # f64 intermediates double every host-side copy/scatter on a
+            # month-scale fetch (52M cells × 2 moments)
             return (
-                expand(_dequantize_host(out["mean"])),
-                expand(_dequantize_host(out["std"])) if "std" in out else None,
-                expand(_dequantize_host(out["samples"]))
+                expand(_dequantize_host(out["mean"], np.float32)),
+                expand(_dequantize_host(out["std"], np.float32))
+                if "std" in out else None,
+                expand(_dequantize_host(out["samples"], np.float32))
                 if n_samples > 0 else None,
             )
 
@@ -529,10 +533,13 @@ class Predictor:
         # overlap the remaining dispatch work as well as the compute.
         t_up = time.perf_counter()
         task = jax.device_put(task)
-        # one-leaf sync: the upload must complete before any chunk computes,
-        # so this only moves the wait to where it is attributable (one extra
-        # host-link round trip, ~30 ms on a month-scale wall)
-        jax.block_until_ready(jax.tree.leaves(task)[-1])
+        # whole-tree sync: the upload must complete before any chunk
+        # computes, so this only moves the wait to where it is attributable
+        # (a few host-link round trips on a month-scale wall; through a
+        # relay that acks early this can still under-report — the
+        # device-resident diagnostic split in perf/operational_bench.py is
+        # the authoritative upload number)
+        jax.block_until_ready(task)
         t_up = time.perf_counter() - t_up
         t_run = time.perf_counter()
         aux_c = brd_aux(chunk)

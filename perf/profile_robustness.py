@@ -12,8 +12,8 @@ Sweeps 4 distinct worlds (terrain roughness, station density, observation
 noise, lapse-rate strength — ``data/synthetic.py`` world knobs) × the three
 densities the profiles ride (d500 parity / d350 tuned / d120+pinned-scale
 throughput), same training recipe per row (``perf/train_flagship.py``,
-30-epoch budget, seed 0). Writes
-``docs/results/profile_robustness_r5.json``.
+30-epoch budget, seed 0).
+Writes ``docs/results/profile_robustness_r5.json``.
 
 Run ON the TPU:
 
