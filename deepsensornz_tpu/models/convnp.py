@@ -103,7 +103,15 @@ class ConvNPConfig:
     #             backward restarts from level boundaries instead of
     #             replaying the pack/unpack shuffles from the stem
     #             (VERDICT r4 item 4: decompose the packed×remat loss).
-    remat_policy: Optional[str] = None
+    # DEFAULT "acts": measured on v5e at flagship shape (perf/train_bench.py,
+    # round 5, same relay session): pipelined step 0.1041 s vs 0.1207 s
+    # (batch 8, unpacked) and 0.106 s vs 0.1263 s (packed) — ~14% faster in
+    # BOTH lane domains, with loss AND grads bit-comparable to full remat
+    # (tests/test_convnp.py::test_remat_policies_numerically_exact). "dots"
+    # was a wash. The saved per-level activations cost HBM (~0.5 GB/item at
+    # density 1000); at extreme densities where that matters, set
+    # remat_policy=None to reclaim it. Full table: docs/perf_unet.md.
+    remat_policy: Optional[str] = "acts"
     # Auxiliary masked-MSE weight on the predictive mean. Joint (gnp) NLL
     # decouples from point accuracy — the low-rank factors can explain a
     # biased mean as correlated noise (measured on hardware) — so anchoring

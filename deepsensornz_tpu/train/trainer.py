@@ -115,12 +115,19 @@ def make_train_step(
     without touching the rest of the net."""
     # lane_pack="auto" means "packed exactly where measured to win" — and
     # the fwd+bwd train step is measured to LOSE with the packed domain
-    # (80.4/82.5 vs 83.8/85.9 tasks/s at batch 8/16 on v5e, remat on: the
-    # pack/unpack boundaries interact with rematerialisation), while the
-    # forward-only serving path wins (cycle 0.1291→0.1251 s). So auto
-    # resolves to unpacked HERE and packed in the Predictor. Activation-
-    # level packing is exact, so params/losses are bit-identical either
-    # way; an EXPLICIT lane_pack="domain"/True is honored unchanged.
+    # (80.4/82.5 vs 83.8/85.9 tasks/s at batch 8/16 on v5e, remat on),
+    # while the forward-only serving path wins (cycle 0.1291→0.1251 s). So
+    # auto resolves to unpacked HERE and packed in the Predictor.
+    # Round-5 decomposition (perf/train_bench.py, remat_policy sweep): most
+    # of that packed training loss WAS the backward replaying the lane
+    # shuffles under full remat — saving the tagged level activations
+    # (remat_policy="acts", now the default) narrows the packed deficit
+    # from ~4.5% to ~1.7% (packed 0.106 vs unpacked 0.1041 s/step pipelined,
+    # batch 8) — but does not flip the sign: the residual is the forward
+    # pack/unpack cost itself, so auto still resolves to unpacked for
+    # training. Activation-level packing is exact, so params/losses are
+    # bit-identical either way; an EXPLICIT lane_pack="domain"/True is
+    # honored unchanged.
     if getattr(getattr(model, "cfg", None), "lane_pack", None) == "auto":
         import dataclasses
 
