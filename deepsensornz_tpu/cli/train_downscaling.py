@@ -158,6 +158,11 @@ def main(argv=None):
         # physical smoothing-scale override — the round-3 density-mechanism
         # study's quality lever; None = 2/internal_density + floor
         init_lengthscale=args.get("init_lengthscale"),
+        # U-Net backward rematerialisation (memory knob for big grids /
+        # batches on one chip) + its selective policy (perf knob)
+        **({"remat": args["remat"]} if args.get("remat") is not None else {}),
+        **({"remat_policy": args["remat_policy"]}
+           if "remat_policy" in args else {}),
     )
     result = training.train_model(
         n_epochs=args.get("n_epochs") or cfg.TRAIN_DEFAULTS["n_epochs"],

@@ -95,6 +95,11 @@ ARG_SCHEMA = {
     # (length-scales then stay at init in practice, measured)
     "lengthscale_lr_mult": float_or_none,
     "likelihood": str_or_none,
+    # rematerialise the U-Net backward (ConvNPConfig.remat) — fits big
+    # internal grids / batches on one chip; the selective policy defaults
+    # to "acts" (measured ~14% faster than full remat, docs/perf_unet.md §5)
+    "remat": str2bool,
+    "remat_policy": str_or_none,
     # 'tuned' resolves per-variable measured-best density/length-scale
     # settings (config.TUNED_PROFILE); 'parity'/null = reference defaults
     "profile": str_or_none,

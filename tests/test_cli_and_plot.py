@@ -143,6 +143,9 @@ def test_train_cli_synthetic(tmp_path, monkeypatch):
         "highres_coarsen_factor": 2,
         "lowres_coarsen_factor": 4,
         "include_time_of_year": True,
+        # YAML surface for the memory/perf knobs: must reach the model cfg
+        "remat": True,
+        "remat_policy": "acts",
     }
     arg_path = tmp_path / "args.yaml"
     with open(arg_path, "w") as f:
@@ -155,6 +158,8 @@ def test_train_cli_synthetic(tmp_path, monkeypatch):
     with open(os.path.join(model_dir, "metadata.json")) as f:
         meta = json.load(f)
     assert meta["data_settings"]["variable"] == "temperature"
+    assert meta["model_config"]["remat"] is True
+    assert meta["model_config"]["remat_policy"] == "acts"
 
     # reconstruction must work on CLI artifacts too
     from deepsensornz_tpu.pipeline.validate import load_run
