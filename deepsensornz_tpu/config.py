@@ -188,6 +188,12 @@ TRAIN_DEFAULTS = {
 # transfer (neutral-to-harmful — self-tuning refines around a good init
 # but cannot rescue a bad one at the flagship lr×steps budget), and
 # surface pressure genuinely prefers its smooth init-determined scale.
+# MULTI-WORLD ROBUSTNESS (round 5, docs/results/profile_robustness_r5
+# .json): the d350 point beats-or-matches the d500 parity default in ALL
+# four perturbed generator worlds (rough+sparse, smooth+dense, 3x obs
+# noise, steep lapse) — and the d500-at-default-smoothing point outright
+# FAILS calibration in two of them. The tuned profile is not a
+# one-world artifact.
 TUNED_PROFILE = {
     "temperature": {"internal_density": 350},
     "precipitation": {"internal_density": 350, "init_lengthscale": 0.005},
@@ -215,6 +221,15 @@ TUNED_PROFILE = {
 # softer than 0.025-0.026), wind near-neutral vs a fair d350 control
 # (u 0.608/0.575, v 0.518/0.525). Serving is decode-bound below ~d350, so
 # this profile is about TRAINING cost; quality-first users keep 'tuned'.
+# MULTI-WORLD ROBUSTNESS (round 5, docs/results/profile_robustness_r5
+# .json): WORLD-CONDITIONAL. The d120+pinned point holds within 10% of
+# the per-world best in the noise-dominated and steep-lapse worlds (in
+# the latter it is the BEST point, 0.829 vs d350's 1.719, and the only
+# one passing calibration) but LOSES where fine terrain structure must
+# be resolved by the grid itself: rough+sparse (1.595 vs 0.932, gate
+# fail) and smooth+dense (0.461 vs 0.393, +17%). Use 'throughput' when
+# the sub-grid signal is elevation/noise-dominated; use 'tuned' when the
+# terrain texture is fine relative to ~1/120 of the domain.
 THROUGHPUT_PROFILE = {
     "temperature": {"internal_density": 120, "init_lengthscale": 0.00714},
     "precipitation": {"internal_density": 120, "init_lengthscale": 0.005},
