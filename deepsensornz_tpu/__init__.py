@@ -27,6 +27,43 @@ shapes; raggedness (varying station counts) is handled by padding + masks.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def enable_compile_cache(cache_dir=None):
+    """Enable JAX's persistent compilation cache (opt-in).
+
+    Compiled executables are serialised to ``cache_dir`` and rehydrated by
+    later processes, skipping recompilation of identical programs. On the
+    relay-attached TPU the first compile of a process is the dominant fixed
+    cost (~2-3 min healthy, 26 min measured on a degraded relay —
+    ROUND5_NOTES.md), so a warm cache pays for itself on the second CLI
+    invocation. Probe for backend support with
+    ``perf/compile_cache_probe.py`` (verified working on CPU; axon-relay
+    support depends on the plugin's executable-serialisation API).
+
+    Activated automatically at import when ``DEEPSENSORNZ_COMPILE_CACHE``
+    is set (its value = cache dir, or empty for the default
+    ``~/.cache/deepsensornz_jax``).
+    """
+    import jax
+
+    cache_dir = (
+        cache_dir
+        or _os.environ.get("DEEPSENSORNZ_COMPILE_CACHE")
+        or _os.path.join(_os.path.expanduser("~"), ".cache", "deepsensornz_jax")
+    )
+    _os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # Cache everything: even sub-second programs cost a relay round trip.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return cache_dir
+
+
+if _os.environ.get("DEEPSENSORNZ_COMPILE_CACHE") is not None:
+    enable_compile_cache()
+
 from deepsensornz_tpu import config  # noqa: F401
 
 # Convenience top-level API (mirrors the reference's flat deepsensor imports)
