@@ -85,16 +85,19 @@ def build_cycle_inputs(n_tasks=24, internal_density=500):
     return model, params, task, (xt1, xt2, aux_t)
 
 
-def _arm_watchdog(seconds=3300.0):
+def _arm_watchdog(seconds=7200.0):
     """Exit (code 3) if the bench hasn't finished within ``seconds``.
 
     The TPU is reached through an HTTP relay; when the relay is down a
     device call blocks indefinitely (observed 2026-08-17: multi-hour
     outage), which would hang the driver. A healthy run takes ~5 min
-    including first compile, but a DEGRADED (not down) relay has been
-    measured taking 26 min for one first compile (round 5,
-    ROUND5_NOTES.md) — so the bail-out must tolerate slow-but-alive:
-    55 min with no result means the hardware is genuinely unreachable."""
+    including first compile, but a DEGRADED (not down) relay must be
+    tolerated: round 5 measured 26 min for one first compile, and later
+    1168 s to compile a TRIVIAL 384x384 matmul program
+    (docs/results/compile_cache_probe_r5.json) while cached dispatch
+    stayed normal — so a flagship-size compile can plausibly take over
+    an hour with the hardware alive and the result still forthcoming.
+    2 h with no result means genuinely unreachable."""
     import os
     import sys
     import threading

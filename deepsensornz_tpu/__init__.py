@@ -37,10 +37,12 @@ def enable_compile_cache(cache_dir=None):
     later processes, skipping recompilation of identical programs. On the
     relay-attached TPU the first compile of a process is the dominant fixed
     cost (~2-3 min healthy, 26 min measured on a degraded relay —
-    ROUND5_NOTES.md), so a warm cache pays for itself on the second CLI
-    invocation. Probe for backend support with
-    ``perf/compile_cache_probe.py`` (verified working on CPU; axon-relay
-    support depends on the plugin's executable-serialisation API).
+    ROUND5_NOTES.md), so a warm cache would pay for itself on the second
+    CLI invocation. MEASURED verdict (``perf/compile_cache_probe.py``,
+    ``docs/results/compile_cache_probe_r5.json``): CPU rehydrates (~10×
+    even on a trivial program — useful for tests/examples/local dev); the
+    axon relay backend WRITES entries but a fresh process recompiles
+    anyway, so the knob is inert-but-harmless on the TPU path.
 
     Activated automatically at import when ``DEEPSENSORNZ_COMPILE_CACHE``
     is set (its value = cache dir, or empty for the default
