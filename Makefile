@@ -1,6 +1,6 @@
 # Developer entry points.
 
-.PHONY: test test-tpu bench native examples clean
+.PHONY: test test-tpu bench health native examples clean
 
 test:
 	python -m pytest tests/ -q
@@ -13,6 +13,10 @@ test-tpu:
 
 bench:
 	python bench.py
+
+# one-JSON-line device/relay check (dispatch / compile / transfer legs)
+health:
+	python -m deepsensornz_tpu.cli.health
 
 native:
 	$(MAKE) -C native
